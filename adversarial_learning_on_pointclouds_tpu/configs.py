@@ -1,0 +1,202 @@
+"""Frozen dataclass configs for the five baseline configurations.
+
+Mirrors the reference's per-script argparse surface (flag names like
+``--batchSize``, ``--num_points``, ``--nepoch``, ``--outf``, ``--model``,
+``--feature_transform``, ``--lambda_adv``, ``--lambda_semi``,
+``--threshold`` — reference: ``upstream:train_*.py`` argparse blocks, see
+SURVEY.md §2.10/§5) while keeping a single typed config object internally.
+
+The five configs correspond to ``BASELINE.json:7-11``:
+
+1. ``ClassifyConfig``           — PointNet classifier, ModelNet40 1024 pts,
+   batch 32, cross-entropy only (CPU-runnable).
+2. ``ClassifyConfig(feature_transform=True, augment=True)`` — + T-Net
+   feature-transform regularizer, on-device jitter/rotate augmentation.
+3. ``SegmentConfig``            — part-segmentation generator on
+   ShapeNet-part (2048 pts, per-point logits).
+4. ``AdversarialConfig``        — generator + FCN discriminator,
+   alternating G/D updates, semi-supervised loss.
+5. ``AdvPerturbConfig``         — FGSM-style point jitter attack training
+   + multi-chip DP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseConfig:
+    """Options shared by every training configuration."""
+
+    batch_size: int = 32          # --batchSize  (reference default 32)
+    num_points: int = 1024        # --num_points
+    epochs: int = 250             # --nepoch
+    out_dir: str = "cls"          # --outf
+    resume: Optional[str] = None  # --model (checkpoint to warm-start from)
+    dataset: str = ""             # --dataset (data root; '' -> synthetic)
+    seed: int = 0                 # --manualSeed
+    lr: float = 1e-3              # Adam lr (pointnet.pytorch default)
+    beta1: float = 0.9
+    beta2: float = 0.999
+    lr_step: int = 20             # StepLR step_size
+    lr_gamma: float = 0.5         # StepLR gamma
+    feature_transform: bool = False  # --feature_transform
+    augment: bool = False         # on-device rotate/jitter chain
+    use_pallas: bool = True       # fused Pallas kernels vs jnp fallback
+    dtype: str = "float32"        # compute dtype for the model
+    num_devices: int = 0          # 0 -> all visible devices (DP mesh)
+    profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
+    quiet: bool = False           # --quiet (stdout parity mode)
+    workers: int = 0              # --workers (host prefetch threads)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifyConfig(BaseConfig):
+    """Configs 1-2: ModelNet40 classification (BASELINE.json:7-8)."""
+
+    num_classes: int = 40
+    dropout: float = 0.3
+    out_dir: str = "cls"
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentConfig(BaseConfig):
+    """Config 3: ShapeNet-part segmentation (BASELINE.json:9)."""
+
+    num_points: int = 2048
+    num_parts: int = 50
+    class_choice: Optional[str] = None  # --class_choice (single category)
+    feature_transform: bool = True
+    out_dir: str = "seg"
+
+
+@dataclasses.dataclass(frozen=True)
+class AdversarialConfig(SegmentConfig):
+    """Config 4: adversarial semi-supervised segmentation (BASELINE.json:10).
+
+    Hyperparameter defaults follow Hung et al. arXiv:1802.07934 (the method
+    the reference adapts; SURVEY.md §5 "Config / flag system").
+    """
+
+    lambda_adv: float = 0.01      # --lambda_adv
+    lambda_semi: float = 0.1      # --lambda_semi
+    semi_threshold: float = 0.2   # --threshold  (T_semi)
+    labeled_ratio: float = 0.5    # --labeled_ratio (labeled/unlabeled split)
+    lr_d: float = 1e-4            # discriminator Adam lr
+    beta1_d: float = 0.9
+    beta2_d: float = 0.99
+    semi_start: int = 0           # --semi_start (iteration to enable L_semi)
+    out_dir: str = "adv"
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvPerturbConfig(BaseConfig):
+    """Config 5: FGSM perturbation training + multi-chip DP (BASELINE.json:11)."""
+
+    num_classes: int = 40
+    dropout: float = 0.3
+    epsilon: float = 0.05         # --epsilon (FGSM step / L-inf bound)
+    out_dir: str = "advp"
+
+
+def _add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batchSize", type=int, default=32, help="input batch size")
+    p.add_argument("--num_points", type=int, default=None, help="points per cloud")
+    p.add_argument("--nepoch", type=int, default=250, help="number of epochs")
+    p.add_argument("--outf", type=str, default=None, help="output folder")
+    p.add_argument("--model", type=str, default=None, help="model checkpoint path")
+    p.add_argument("--dataset", type=str, default="", help="dataset root path")
+    p.add_argument("--manualSeed", type=int, default=0, help="random seed")
+    p.add_argument("--feature_transform", action="store_true",
+                   help="use feature transform (STNkd + ortho regularizer)")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device rotate/jitter augmentation")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="disable Pallas kernels (pure jnp/XLA path)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
+    p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
+    p.add_argument("--workers", type=int, default=0, help="host loader threads")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="DP mesh size (0 = all visible devices)")
+
+
+def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str):
+    return dict(
+        batch_size=a.batchSize,
+        num_points=a.num_points if a.num_points is not None else default_points,
+        epochs=a.nepoch,
+        out_dir=a.outf if a.outf is not None else default_outf,
+        resume=a.model,
+        dataset=a.dataset,
+        seed=a.manualSeed,
+        feature_transform=a.feature_transform,
+        augment=a.augment,
+        use_pallas=not a.no_pallas,
+        profile_dir=a.profile_dir,
+        quiet=a.quiet,
+        workers=a.workers,
+        num_devices=a.num_devices,
+    )
+
+
+def classify_config_from_args(argv=None) -> ClassifyConfig:
+    """CLI shim for ``train_classification.py`` (reference flag names)."""
+    p = argparse.ArgumentParser(description="PointNet classification (TPU)")
+    _add_common_flags(p)
+    a = p.parse_args(argv)
+    return ClassifyConfig(**_common_kwargs(a, 1024, "cls"))
+
+
+def segment_config_from_args(argv=None) -> SegmentConfig:
+    """CLI shim for ``train_segmentation.py``."""
+    p = argparse.ArgumentParser(description="PointNet part segmentation (TPU)")
+    _add_common_flags(p)
+    p.add_argument("--class_choice", type=str, default=None,
+                   help="restrict to one ShapeNet category")
+    a = p.parse_args(argv)
+    kw = _common_kwargs(a, 2048, "seg")
+    kw.pop("feature_transform")
+    return SegmentConfig(class_choice=a.class_choice,
+                         feature_transform=a.feature_transform, **kw)
+
+
+def adversarial_config_from_args(argv=None) -> AdversarialConfig:
+    """CLI shim for ``train_adversarial.py``."""
+    p = argparse.ArgumentParser(
+        description="Adversarial semi-supervised segmentation (TPU)")
+    _add_common_flags(p)
+    p.add_argument("--class_choice", type=str, default=None)
+    p.add_argument("--lambda_adv", type=float, default=0.01)
+    p.add_argument("--lambda_semi", type=float, default=0.1)
+    p.add_argument("--threshold", type=float, default=0.2,
+                   help="T_semi confidence threshold")
+    p.add_argument("--labeled_ratio", type=float, default=0.5)
+    p.add_argument("--lr_D", type=float, default=1e-4)
+    p.add_argument("--semi_start", type=int, default=0)
+    a = p.parse_args(argv)
+    kw = _common_kwargs(a, 2048, "adv")
+    kw.pop("feature_transform")
+    return AdversarialConfig(
+        class_choice=a.class_choice,
+        feature_transform=a.feature_transform,
+        lambda_adv=a.lambda_adv,
+        lambda_semi=a.lambda_semi,
+        semi_threshold=a.threshold,
+        labeled_ratio=a.labeled_ratio,
+        lr_d=a.lr_D,
+        semi_start=a.semi_start,
+        **kw,
+    )
+
+
+def adv_perturb_config_from_args(argv=None) -> AdvPerturbConfig:
+    """CLI shim for ``train_adv_perturb.py`` (FGSM config)."""
+    p = argparse.ArgumentParser(description="FGSM perturbation training (TPU)")
+    _add_common_flags(p)
+    p.add_argument("--epsilon", type=float, default=0.05, help="FGSM epsilon")
+    a = p.parse_args(argv)
+    return AdvPerturbConfig(epsilon=a.epsilon, **_common_kwargs(a, 1024, "advp"))

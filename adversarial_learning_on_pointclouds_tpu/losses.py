@@ -1,0 +1,97 @@
+"""Losses and adversarial objectives (SURVEY.md §2.5).
+
+* Supervised cross-entropy on log-probabilities (the reference's
+  ``NLLLoss`` over ``log_softmax`` outputs — ``BASELINE.json:7``).
+* Orthogonality regularizer on T-Net transforms
+  (``upstream:pointnet/model.py::feature_transform_regularizer``).
+* Hung et al. 2018 adversarial objectives for semi-supervised
+  segmentation: generator adversarial loss (eq. 3), discriminator
+  real/fake loss (eq. 2), and the confidence-masked semi-supervised
+  self-training loss (eq. 4-5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean negative log-likelihood. ``log_probs [..., k]``, ``labels [...]``.
+
+    Works for per-shape classification (``[B, k]``) and per-point
+    segmentation (``[B, N, k]``) exactly like torch ``NLLLoss`` with mean
+    reduction over all leading axes.
+    """
+    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)
+    return -jnp.mean(picked)
+
+
+cross_entropy = nll_loss
+
+
+def orthogonality_reg(trans: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """``mean_b || I - A_b A_b^T ||_F`` over the batch of k x k transforms.
+
+    The reference's ``feature_transform_regularizer`` (weight 0.001 in the
+    training loss, ``BASELINE.json:5`` / PointNet paper §C).
+    """
+    if trans is None:
+        return jnp.asarray(0.0)
+    k = trans.shape[-1]
+    eye = jnp.eye(k, dtype=trans.dtype)
+    gram = jnp.matmul(trans, jnp.swapaxes(trans, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=trans.dtype)
+    return jnp.mean(jnp.linalg.norm(eye - gram, axis=(-2, -1)))
+
+
+def bce_with_logits(logits: jnp.ndarray, target: float | jnp.ndarray,
+                    ) -> jnp.ndarray:
+    """Mean binary cross-entropy on logits (torch ``BCEWithLogitsLoss``).
+
+    Numerically stable form: ``max(z,0) - z*t + log(1+exp(-|z|))``.
+    """
+    z = logits
+    t = jnp.broadcast_to(jnp.asarray(target, z.dtype), z.shape)
+    loss = jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.mean(loss)
+
+
+def adv_g_loss(d_logits: jnp.ndarray) -> jnp.ndarray:
+    """Generator adversarial loss: fool D into REAL on predicted maps.
+
+    ``BCE(D(softmax(G(x))), 1)`` — Hung et al. eq. 3.
+    """
+    return bce_with_logits(d_logits, 1.0)
+
+
+def d_loss(d_logits_real: jnp.ndarray, d_logits_fake: jnp.ndarray,
+           ) -> jnp.ndarray:
+    """Discriminator loss: REAL on one-hot GT, FAKE on predictions.
+
+    ``BCE(D(one_hot(y)), 1) + BCE(D(softmax(G(x))), 0)`` — Hung et al. eq. 2.
+    The reference computes the two BCE terms as separate ``.backward()``
+    contributions; summing them is identical.
+    """
+    return bce_with_logits(d_logits_real, 1.0) + bce_with_logits(d_logits_fake, 0.0)
+
+
+def semi_loss(log_probs: jnp.ndarray, d_logits: jnp.ndarray,
+              threshold: float) -> jnp.ndarray:
+    """Confidence-masked self-training loss on unlabeled data.
+
+    Hung et al. eq. 4-5: where ``sigmoid(D) > T_semi``, treat the
+    generator's own argmax as ground truth and apply CE. The mask and the
+    pseudo-labels are both treated as constants (no gradient), matching
+    the reference's ``.detach()`` usage. Mean over masked points; 0 when
+    the mask is empty.
+    """
+    pseudo = jax.lax.stop_gradient(jnp.argmax(log_probs, axis=-1))
+    mask = jax.lax.stop_gradient(
+        (jax.nn.sigmoid(d_logits[..., 0]) > threshold).astype(log_probs.dtype))
+    picked = jnp.take_along_axis(log_probs, pseudo[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.sum(picked * mask) / denom

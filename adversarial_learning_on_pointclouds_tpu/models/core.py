@@ -1,0 +1,143 @@
+"""Functional layer primitives with PyTorch-compatible semantics.
+
+The framework stores parameters and BatchNorm running statistics as plain
+pytrees (nested dicts of ``jnp.ndarray``), applied by pure functions. This
+keeps every model trivially jittable/vmappable/shardable and makes swapping
+the compute path between XLA and Pallas kernels a pure dispatch decision
+(see ``ops/dispatch.py``).
+
+Parity notes (SURVEY.md §7 "hard parts" #3):
+
+* Initializers reproduce ``torch.nn.Conv1d``/``Linear`` defaults —
+  kaiming-uniform with ``a=sqrt(5)`` on weights (which reduces to
+  ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``) and the same bound for biases —
+  so fixed-seed training trajectories are comparable-from-init with the
+  reference (``BASELINE.json:5`` "bit-comparable logits on fixed seeds").
+* BatchNorm follows ``torch.nn.BatchNorm1d`` defaults: eps=1e-5,
+  momentum=0.1, running stats updated as ``(1-m)*old + m*batch`` with the
+  *unbiased* batch variance stored but the *biased* variance used for
+  normalization during training.
+* A ``Conv1d(c_in, c_out, kernel_size=1)`` over ``[B, C, N]`` is exactly a
+  per-point matmul; we keep the TPU-friendly channel-last layout
+  ``[B, N, C]`` so the contraction lands on the MXU lane dimension.
+
+Reference architecture source: ``upstream:pointnet/model.py`` (see
+SURVEY.md §2.3; the mount at /root/reference was empty, so citations are to
+the surveyed lineage).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+BnState = Dict[str, Any]
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+# The default TPU matmul precision is bfloat16; the parity contract
+# (BASELINE.json:5 "bit-comparable logits on fixed seeds") needs true fp32
+# accumulation, so every matmul in the framework passes this explicitly.
+# Throughput configs can train in bf16 by casting inputs instead.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Precision-pinned matmul used throughout the model layer."""
+    return jnp.matmul(a, b, precision=MATMUL_PRECISION,
+                      preferred_element_type=a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch default semantics)
+# ---------------------------------------------------------------------------
+
+def torch_linear_init(key: jax.Array, fan_in: int, fan_out: int,
+                      dtype=jnp.float32) -> Params:
+    """``torch.nn.Linear``/``Conv1d(k=1)`` default init.
+
+    Weight: kaiming_uniform(a=sqrt(5)) == U(-b, b) with b = 1/sqrt(fan_in).
+    Bias:   U(-b, b) with the same bound.
+    Weight is stored ``[fan_in, fan_out]`` (transposed vs torch's
+    ``[out, in]``) so application is ``x @ w + b``.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def bn_init(num_features: int, dtype=jnp.float32) -> Tuple[Params, BnState]:
+    """``torch.nn.BatchNorm1d`` default: scale=1, bias=0, mean=0, var=1."""
+    params = {
+        "scale": jnp.ones((num_features,), dtype),
+        "bias": jnp.zeros((num_features,), dtype),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), dtype),
+        "var": jnp.ones((num_features,), dtype),
+    }
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Apply functions
+# ---------------------------------------------------------------------------
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-point / per-row affine map: ``x @ w + b``.
+
+    Works for both ``[B, C]`` (torch Linear) and ``[B, N, C]`` (torch
+    Conv1d(kernel=1) in channel-last layout).
+    """
+    return matmul(x, p["w"]) + p["b"]
+
+
+def batch_norm(p: Params, s: BnState, x: jnp.ndarray, train: bool,
+               momentum: float = BN_MOMENTUM, eps: float = BN_EPS,
+               ) -> Tuple[jnp.ndarray, BnState]:
+    """BatchNorm over all axes except the last (channel) axis.
+
+    Matches ``torch.nn.BatchNorm1d`` on ``[B, C]`` and ``[B, C, N]`` inputs
+    (ours are channel-last ``[B, N, C]``): statistics are computed over the
+    batch *and* point axes. Under data-parallel sharding the reductions are
+    global — XLA inserts the cross-chip ``psum`` — so DP training matches
+    the reference's single-device statistics exactly (SURVEY.md §7 hard
+    part #2).
+    """
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_s = {
+            "mean": (1.0 - momentum) * s["mean"] + momentum * mean,
+            "var": (1.0 - momentum) * s["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * (inv * p["scale"]) + p["bias"]
+    return y, new_s
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: jax.Array,
+            train: bool) -> jnp.ndarray:
+    """Inverted dropout, torch semantics (scale by 1/(1-p) at train time)."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)

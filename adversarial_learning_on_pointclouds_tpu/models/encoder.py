@@ -1,0 +1,81 @@
+"""PointNet encoder trunk (``PointNetfeat`` in the reference).
+
+Reference: ``upstream:pointnet/model.py::PointNetfeat`` (SURVEY.md §2.3,
+call stack §3.2). Pipeline on ``x: [B, N, 3]``:
+
+1. STN3d predicts ``T in R^{3x3}``; apply ``x <- x @ T``.
+2. Shared MLP 3->64 (BN+ReLU).
+3. Optionally STNkd predicts ``T64``; apply to the 64-d features.
+4. Shared MLP 64->128 (BN+ReLU), 128->1024 (BN, **no ReLU** — the
+   reference applies ``bn3(conv3(x))`` and pools directly).
+5. Symmetric max-pool over the point axis -> 1024-d global feature.
+
+``global_feat=False`` (segmentation) concatenates the 64-d per-point
+feature with the tiled global feature -> ``[B, N, 1088]``. On the Pallas
+path the inference forward runs as one fused megakernel that streams tiles
+of N and never materializes ``[B, N, 1024]`` in HBM
+(``ops/kernels/encoder_fused.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu.models import core
+from adversarial_learning_on_pointclouds_tpu.models.tnet import apply_tnet, init_tnet
+from adversarial_learning_on_pointclouds_tpu.ops import dispatch as ops
+
+
+def init_encoder(key: jax.Array, feature_transform: bool = False,
+                 dtype=jnp.float32) -> Tuple[core.Params, core.BnState]:
+    keys = jax.random.split(key, 5)
+    params, state = {}, {}
+    params["stn"], state["stn"] = init_tnet(keys[0], k=3, dtype=dtype)
+    widths = [(3, 64), (64, 128), (128, 1024)]
+    for i, (c_in, c_out) in enumerate(widths, start=1):
+        params[f"conv{i}"] = core.torch_linear_init(keys[i], c_in, c_out, dtype)
+        params[f"bn{i}"], state[f"bn{i}"] = core.bn_init(c_out, dtype)
+    if feature_transform:
+        params["fstn"], state["fstn"] = init_tnet(keys[4], k=64, dtype=dtype)
+    return params, state
+
+
+def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
+                  train: bool, global_feat: bool = True,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
+                             core.BnState]:
+    """Returns ``(feature, trans, trans_feat, new_state)``.
+
+    ``feature`` is ``[B, 1024]`` when ``global_feat`` else ``[B, N, 1088]``;
+    ``trans`` is the input 3x3 transform, ``trans_feat`` the 64x64 feature
+    transform (or None) for the orthogonality regularizer.
+    """
+    new_state = {}
+    trans, new_state["stn"] = apply_tnet(params["stn"], state["stn"], x, train)
+    x = core.matmul(x, trans)
+    x, new_state["bn1"] = ops.linear_bn_act(
+        params["conv1"], params["bn1"], state["bn1"], x, train, "relu")
+
+    trans_feat = None
+    if "fstn" in params:  # feature_transform was enabled at init
+        trans_feat, new_state["fstn"] = apply_tnet(
+            params["fstn"], state["fstn"], x, train)
+        x = core.matmul(x, trans_feat)
+
+    point_feat = x  # [B, N, 64]
+    x, new_state["bn2"] = ops.linear_bn_act(
+        params["conv2"], params["bn2"], state["bn2"], x, train, "relu")
+    x, new_state["bn3"] = ops.linear_bn_act(
+        params["conv3"], params["bn3"], state["bn3"], x, train, act=None)
+    global_feature = ops.max_points(x)  # [B, 1024]
+
+    if global_feat:
+        return global_feature, trans, trans_feat, new_state
+    n = point_feat.shape[1]
+    tiled = jnp.broadcast_to(global_feature[:, None, :],
+                             (x.shape[0], n, global_feature.shape[-1]))
+    feat = jnp.concatenate([point_feat, tiled], axis=-1)  # [B, N, 1088]
+    return feat, trans, trans_feat, new_state

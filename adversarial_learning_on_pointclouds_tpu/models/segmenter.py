@@ -1,0 +1,52 @@
+"""PointNet dense (part-segmentation) head — the adversarial *generator*.
+
+Reference: ``upstream:pointnet/model.py::PointNetDenseCls`` (SURVEY.md
+§2.3, call stack §3.2): encoder with ``global_feat=False`` produces the
+``[B, N, 1088]`` concat feature; pointwise shared MLP
+1088->512->256->128 (BN+ReLU) then 128->k, ``log_softmax`` over the part
+classes per point (``BASELINE.json:9`` "per-point logits").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu.models import core
+from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+    apply_encoder, init_encoder,
+)
+from adversarial_learning_on_pointclouds_tpu.ops import dispatch as ops
+
+
+def init_segmenter(key: jax.Array, num_parts: int = 50,
+                   feature_transform: bool = True, dtype=jnp.float32,
+                   ) -> Tuple[core.Params, core.BnState]:
+    keys = jax.random.split(key, 5)
+    params, state = {}, {}
+    params["feat"], state["feat"] = init_encoder(
+        keys[0], feature_transform, dtype)
+    widths = [(1088, 512), (512, 256), (256, 128)]
+    for i, (c_in, c_out) in enumerate(widths, start=1):
+        params[f"conv{i}"] = core.torch_linear_init(keys[i], c_in, c_out, dtype)
+        params[f"bn{i}"], state[f"bn{i}"] = core.bn_init(c_out, dtype)
+    params["conv4"] = core.torch_linear_init(keys[4], 128, num_parts, dtype)
+    return params, state
+
+
+def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
+                    train: bool,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                               Optional[jnp.ndarray], core.BnState]:
+    """``x: [B, N, 3]`` -> ``(log_probs [B, N, k], trans, trans_feat, state)``."""
+    new_state = {}
+    h, trans, trans_feat, new_state["feat"] = apply_encoder(
+        params["feat"], state["feat"], x, train, global_feat=False)
+    for i in range(1, 4):
+        h, new_state[f"bn{i}"] = ops.linear_bn_act(
+            params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
+            train, "relu")
+    h = ops.linear_act(params["conv4"], h, act=None)
+    return jax.nn.log_softmax(h, axis=-1), trans, trans_feat, new_state

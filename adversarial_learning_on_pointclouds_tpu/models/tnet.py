@@ -1,0 +1,59 @@
+"""T-Net spatial/feature transformers (STN3d / STNkd).
+
+Predicts a ``k x k`` alignment matrix from a point cloud / feature map.
+Architecture (reference ``upstream:pointnet/model.py::STN3d``/``STNkd``,
+SURVEY.md §2.3): conv1d k->64->128->1024 (BN+ReLU each), symmetric max-pool
+over points, fc 1024->512->256 (BN+ReLU), fc 256->k*k with the flattened
+identity matrix added — so the transform is exactly identity at init up to
+the final layer's (small, torch-default) random output.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu.models import core
+from adversarial_learning_on_pointclouds_tpu.ops import dispatch as ops
+
+_WIDTHS = (64, 128, 1024)
+_FC = (512, 256)
+
+
+def init_tnet(key: jax.Array, k: int, dtype=jnp.float32
+              ) -> Tuple[core.Params, core.BnState]:
+    keys = jax.random.split(key, 6)
+    params, state = {}, {}
+    c_in = k
+    for i, c_out in enumerate(_WIDTHS, start=1):
+        params[f"conv{i}"] = core.torch_linear_init(keys[i - 1], c_in, c_out, dtype)
+        params[f"bn{i}"], state[f"bn{i}"] = core.bn_init(c_out, dtype)
+        c_in = c_out
+    for i, c_out in enumerate(_FC, start=1):
+        params[f"fc{i}"] = core.torch_linear_init(keys[2 + i], c_in, c_out, dtype)
+        params[f"bn_fc{i}"], state[f"bn_fc{i}"] = core.bn_init(c_out, dtype)
+        c_in = c_out
+    params["fc3"] = core.torch_linear_init(keys[5], c_in, k * k, dtype)
+    return params, state
+
+
+def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
+               train: bool) -> Tuple[jnp.ndarray, core.BnState]:
+    """``x: [B, N, k]`` -> transform ``[B, k, k]`` (+ updated BN state)."""
+    k = x.shape[-1]  # fc3 emits k*k; k == input channel count
+    new_state = {}
+    h = x
+    for i in range(1, 4):
+        h, new_state[f"bn{i}"] = ops.linear_bn_act(
+            params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
+            train=train, act="relu")
+    h = ops.max_points(h)  # [B, 1024] symmetric pool
+    for i in range(1, 3):
+        h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(
+            params[f"fc{i}"], params[f"bn_fc{i}"], state[f"bn_fc{i}"], h,
+            train=train, act="relu")
+    h = core.dense(params["fc3"], h)
+    iden = jnp.eye(k, dtype=h.dtype).reshape(-1)
+    return (h + iden).reshape(-1, k, k), new_state

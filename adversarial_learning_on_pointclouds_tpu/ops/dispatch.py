@@ -1,0 +1,122 @@
+"""Path selection between jnp/XLA reference ops and fused Pallas kernels.
+
+The model layer only ever calls the functions here; whether the work runs
+as XLA-fused HLO or as hand-written Pallas kernels is decided by the
+``use_pallas`` context. This is the TPU-native analogue of the reference's
+reliance on cuDNN conv1d + cuBLAS (SURVEY.md §2.9): the "native surface"
+of this framework is the Pallas kernel set in ``ops/kernels``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu.models import core
+
+_state = threading.local()
+
+
+def pallas_enabled() -> bool:
+    return getattr(_state, "use_pallas", False)
+
+
+@contextlib.contextmanager
+def use_pallas(enabled: bool = True):
+    """Enable/disable the Pallas kernel path within the context.
+
+    The flag is read at *trace* time, so it must wrap the ``jax.jit``
+    tracing of the train/eval step (re-jit to switch paths).
+    """
+    prev = pallas_enabled()
+    _state.use_pallas = enabled
+    try:
+        yield
+    finally:
+        _state.use_pallas = prev
+
+
+def _act(x: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
+    if act is None:
+        return x
+    if act == "relu":
+        return jnp.maximum(x, 0)
+    if act == "leaky_relu":
+        return core.leaky_relu(x, 0.2)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+# ---------------------------------------------------------------------------
+# Fused shared-MLP block: y = act(bn(x @ w + b))
+# ---------------------------------------------------------------------------
+
+def linear_bn_act(dense_p, bn_p, bn_s, x: jnp.ndarray, train: bool,
+                  act: Optional[str] = "relu",
+                  ) -> Tuple[jnp.ndarray, dict]:
+    """One shared-MLP block: pointwise matmul + BatchNorm + activation.
+
+    Replaces the reference's ``relu(bn(conv1d(x)))`` pattern
+    (``upstream:pointnet/model.py``, SURVEY.md §2.3). ``x`` is ``[B, N, C]``
+    or ``[B, C]``; the matmul contracts the trailing channel axis on the
+    MXU.
+
+    Training: the matmul runs on the selected path; BN statistics are a
+    global reduction over (batch, points) and normalization + activation
+    are elementwise — XLA fuses those into the matmul's epilogue.
+
+    Eval: running stats are known constants, so BN folds into a per-channel
+    scale/shift; on the Pallas path the whole block is one fused kernel.
+    """
+    if train:
+        z = _matmul(x, dense_p["w"], dense_p["b"])
+        z, new_s = core.batch_norm(bn_p, bn_s, z, train=True)
+        return _act(z, act), new_s
+    # Eval: fold BN into the matmul epilogue.
+    inv = jax.lax.rsqrt(bn_s["var"] + core.BN_EPS)
+    scale = bn_p["scale"] * inv
+    shift = bn_p["bias"] - bn_s["mean"] * scale
+    if pallas_enabled() and x.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
+        y = shared_mlp.fused_linear_affine_act(
+            x, dense_p["w"], dense_p["b"] * scale + shift, scale, act)
+        return y, bn_s
+    z = _matmul(x, dense_p["w"] * scale, dense_p["b"] * scale + shift)
+    return _act(z, act), bn_s
+
+
+def linear_act(dense_p, x: jnp.ndarray, act: Optional[str] = None,
+               ) -> jnp.ndarray:
+    """Pointwise matmul + optional activation (no BN) — discriminator blocks."""
+    if pallas_enabled() and x.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
+        ones = jnp.ones((dense_p["w"].shape[1],), x.dtype)
+        return shared_mlp.fused_linear_affine_act(
+            x, dense_p["w"], dense_p["b"].astype(x.dtype), ones, act)
+    return _act(_matmul(x, dense_p["w"], dense_p["b"]), act)
+
+
+def _matmul(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if pallas_enabled() and x.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
+        return shared_mlp.pointwise_matmul(x, w, b)
+    return core.matmul(x, w) + b
+
+
+# ---------------------------------------------------------------------------
+# Symmetric max-pool over the point axis
+# ---------------------------------------------------------------------------
+
+def max_points(x: jnp.ndarray) -> jnp.ndarray:
+    """``max`` over the point axis: ``[B, N, C] -> [B, C]``.
+
+    The reference's ``torch.max(x, 2)`` symmetric function
+    (``upstream:pointnet/model.py::PointNetfeat``). On the Pallas path this
+    is fused with the preceding MLP layer inside the encoder megakernel
+    (``ops/kernels/encoder_fused.py``); standalone it is a plain reduction
+    XLA already fuses well.
+    """
+    return jnp.max(x, axis=1)

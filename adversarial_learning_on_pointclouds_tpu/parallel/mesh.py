@@ -1,0 +1,57 @@
+"""Device mesh + sharding layout for data-parallel training over ICI.
+
+The reference is single-process single-GPU (SURVEY.md §2.7-2.8); the only
+parallelism with reference-parity semantics is DP. Here DP is first-class:
+a 1-D ``Mesh(('data',))`` (a reserved ``'model'`` axis is accepted for
+future tensor sharding but unused — the model is ~3.5M params), batches
+sharded ``P('data')``, parameters/optimizer state replicated. Gradients
+and BatchNorm batch statistics are global reductions that XLA's SPMD
+partitioner lowers to allreduces over ICI (``BASELINE.json:5``) — no
+hand-written collectives needed; multi-host slices reuse the same program
+with a bigger mesh (DCN riding the same shardings).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = 0,
+              devices: Optional[Sequence[jax.Device]] = None,
+              model_axis: int = 1) -> Mesh:
+    """1-D (or 2-D with a reserved model axis) device mesh.
+
+    ``num_devices=0`` uses every visible device. ``model_axis > 1`` carves
+    a ``'model'`` axis out of the device count (must divide it).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if num_devices:
+        devs = devs[:num_devices]
+    data = len(devs) // model_axis
+    grid = np.asarray(devs).reshape(data, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Shard the leading (batch) axis over ``'data'``; rest replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """``device_put`` a pytree of host batch arrays with batch sharding."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, np.ndim(a))), tree)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)

@@ -1,0 +1,64 @@
+"""Config 5: FGSM adversarial-perturbation training (``BASELINE.json:11``).
+
+Rebuild of the reference's attack-augmented trainer (SURVEY.md §2.6,
+§3.4): per batch, run an FGSM gradient-sign jitter attack on the input
+coordinates, then a standard supervised update on the perturbed clouds.
+In JAX the attack is a nested ``jax.grad`` w.r.t. the *input* inside the
+same jitted step (two forwards + two backwards, like the reference).
+Designed to run under multi-chip DP (the other half of config 5) via
+``parallel/mesh.py`` shardings — the step function is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu import attacks, losses
+from adversarial_learning_on_pointclouds_tpu.configs import AdvPerturbConfig
+from adversarial_learning_on_pointclouds_tpu.data import augment
+from adversarial_learning_on_pointclouds_tpu.models import apply_classifier
+from adversarial_learning_on_pointclouds_tpu.train import classify
+from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
+
+
+def create_state(cfg: AdvPerturbConfig, steps_per_epoch: int,
+                 rng: Optional[jax.Array] = None) -> state_lib.TrainState:
+    return classify.create_state(cfg, steps_per_epoch, rng)
+
+
+def make_tx(cfg: AdvPerturbConfig, steps_per_epoch: int):
+    return classify.make_tx(cfg, steps_per_epoch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def train_step(state: state_lib.TrainState, points: jnp.ndarray,
+               labels: jnp.ndarray, *, cfg: AdvPerturbConfig, tx,
+               ) -> Tuple[state_lib.TrainState, Dict[str, jnp.ndarray]]:
+    rng, k_aug, k_drop1, k_drop2 = jax.random.split(state.rng, 4)
+    if cfg.augment:
+        points = augment.augment_batch(k_aug, points)
+
+    # FGSM attack: eval-mode forward for the input gradient (the attack
+    # must not perturb BN running stats), matching the reference's
+    # model.eval() during attack generation.
+    def attack_loss(x):
+        logp, _, _, _ = apply_classifier(
+            state.params, state.bn_state, x, train=False)
+        return losses.nll_loss(logp, labels)
+
+    x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
+
+    # Standard supervised update on the perturbed batch.
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        classify.loss_fn, has_aux=True)(
+            state.params, state.bn_state, x_adv, labels, k_drop2, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state_lib.TrainState(new_params, new_bn, new_opt,
+                                     state.step + 1, rng)
+    return new_state, {"loss": loss, "acc": acc}

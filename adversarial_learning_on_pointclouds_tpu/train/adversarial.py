@@ -1,0 +1,145 @@
+"""Config 4: adversarial semi-supervised segmentation (``BASELINE.json:10``).
+
+Rebuild of the reference's alternating G/D loop
+(``upstream:train_adversarial*.py``; SURVEY.md §2.6, call stack §3.3),
+following Hung et al. arXiv:1802.07934. Per iteration the reference runs
+two sequential backward/step passes:
+
+1. **G step** (D frozen): ``L_G = L_ce(pred_l, y_l)
+   + lambda_adv * BCE(D(softmax(pred)), REAL)
+   + lambda_semi * L_semi(pred_u, D(softmax(pred_u)))``.
+2. **D step** (G detached): ``L_D = BCE(D(one_hot(y_l)), REAL)
+   + BCE(D(softmax(pred)).detach, FAKE)``.
+
+Here both gradient computations and both optax updates compile into ONE
+jitted ``train_step`` (``BASELINE.json:5`` "single jitted update"):
+freezing D during the G step falls out of differentiating only w.r.t.
+``g_params``; detaching G during the D step is a ``stop_gradient`` on the
+predicted probability maps, which are *reused* from the G-step forward
+(the reference recomputes nothing either — it calls ``.detach()`` on the
+same tensors). Under DP both grad trees allreduce over ICI inside the same
+XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu import losses
+from adversarial_learning_on_pointclouds_tpu.configs import AdversarialConfig
+from adversarial_learning_on_pointclouds_tpu.data import augment
+from adversarial_learning_on_pointclouds_tpu.models import (
+    apply_discriminator, apply_segmenter, init_discriminator, init_segmenter,
+)
+from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
+from adversarial_learning_on_pointclouds_tpu.train.classify import FT_REG_WEIGHT
+
+
+def create_state(cfg: AdversarialConfig, steps_per_epoch: int,
+                 rng: Optional[jax.Array] = None) -> state_lib.GANTrainState:
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    kg, kd, k_run = jax.random.split(rng, 3)
+    g_params, g_bn = init_segmenter(kg, cfg.num_parts, cfg.feature_transform,
+                                    dtype=jnp.dtype(cfg.dtype))
+    d_params = init_discriminator(kd, cfg.num_parts,
+                                  dtype=jnp.dtype(cfg.dtype))
+    g_tx, d_tx = make_txs(cfg, steps_per_epoch)
+    return state_lib.GANTrainState(
+        g_params=g_params, g_bn_state=g_bn, g_opt_state=g_tx.init(g_params),
+        d_params=d_params, d_opt_state=d_tx.init(d_params),
+        step=jnp.zeros((), jnp.int32), rng=k_run)
+
+
+def make_txs(cfg: AdversarialConfig, steps_per_epoch: int):
+    g_tx = state_lib.make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
+        steps_per_epoch)
+    d_tx = state_lib.make_optimizer(
+        cfg.lr_d, cfg.beta1_d, cfg.beta2_d, cfg.lr_step, cfg.lr_gamma,
+        steps_per_epoch)
+    return g_tx, d_tx
+
+
+def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
+               cfg: AdversarialConfig, semi_on: jnp.ndarray):
+    """Generator objective; returns aux needed for the D step."""
+    # Two train-mode forwards, BN running stats chained in call order
+    # (labeled first), matching the reference's sequential module calls.
+    logp_l, _, tf_l, bn1 = apply_segmenter(g_params, g_bn, x_l, train=True)
+    logp_u, _, tf_u, bn2 = apply_segmenter(g_params, bn1, x_u, train=True)
+
+    probs_l = jnp.exp(logp_l)  # softmax(G(x)) — logp is log_softmax
+    probs_u = jnp.exp(logp_u)
+    d_out_l = apply_discriminator(d_params, probs_l)
+    d_out_u = apply_discriminator(d_params, probs_u)
+
+    l_ce = losses.nll_loss(logp_l, y_l)
+    if cfg.feature_transform:
+        l_ce = l_ce + FT_REG_WEIGHT * (
+            losses.orthogonality_reg(tf_l) + losses.orthogonality_reg(tf_u))
+    l_adv = 0.5 * (losses.adv_g_loss(d_out_l) + losses.adv_g_loss(d_out_u))
+    l_semi = losses.semi_loss(logp_u, d_out_u, cfg.semi_threshold)
+    total = l_ce + cfg.lambda_adv * l_adv + semi_on * cfg.lambda_semi * l_semi
+    aux = dict(bn=bn2, probs_l=probs_l, probs_u=probs_u,
+               l_ce=l_ce, l_adv=l_adv, l_semi=l_semi, logp_l=logp_l)
+    return total, aux
+
+
+def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int):
+    """Discriminator objective on detached G outputs + one-hot GT."""
+    fake = jnp.concatenate([probs_l, probs_u], axis=0)
+    real = jax.nn.one_hot(y_l, num_parts, dtype=fake.dtype)
+    d_fake = apply_discriminator(d_params, fake)
+    d_real = apply_discriminator(d_params, real)
+    return losses.d_loss(d_real, d_fake), (d_real, d_fake)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx"))
+def train_step(state: state_lib.GANTrainState,
+               x_l: jnp.ndarray, y_l: jnp.ndarray, x_u: jnp.ndarray, *,
+               cfg: AdversarialConfig, g_tx, d_tx,
+               ) -> Tuple[state_lib.GANTrainState, Dict[str, jnp.ndarray]]:
+    """One alternating G/D update as a single XLA program.
+
+    ``x_l [B,N,3]`` labeled points, ``y_l [B,N]`` part labels,
+    ``x_u [B,N,3]`` unlabeled points.
+    """
+    rng, k_aug_l, k_aug_u = jax.random.split(state.rng, 3)
+    if cfg.augment:
+        x_l = augment.augment_batch(k_aug_l, x_l)
+        x_u = augment.augment_batch(k_aug_u, x_u)
+
+    semi_on = (state.step >= cfg.semi_start).astype(jnp.float32)
+
+    # --- G step: differentiate w.r.t. g_params only (D frozen). ---
+    (g_loss, aux), g_grads = jax.value_and_grad(_g_loss_fn, has_aux=True)(
+        state.g_params, state.d_params, state.g_bn_state, x_l, y_l, x_u,
+        cfg, semi_on)
+    g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt_state,
+                                       state.g_params)
+    new_g_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.g_params, g_updates)
+
+    # --- D step: G outputs detached (reference's ``.detach()``). ---
+    probs_l = jax.lax.stop_gradient(aux["probs_l"])
+    probs_u = jax.lax.stop_gradient(aux["probs_u"])
+    (d_loss_v, _), d_grads = jax.value_and_grad(_d_loss_fn, has_aux=True)(
+        state.d_params, probs_l, probs_u, y_l, cfg.num_parts)
+    d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
+                                       state.d_params)
+    new_d_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.d_params, d_updates)
+
+    acc = jnp.mean(jnp.argmax(aux["logp_l"], -1) == y_l)
+    new_state = state_lib.GANTrainState(
+        g_params=new_g_params, g_bn_state=aux["bn"], g_opt_state=new_g_opt,
+        d_params=new_d_params, d_opt_state=new_d_opt,
+        step=state.step + 1, rng=rng)
+    metrics = {"loss_g": g_loss, "loss_ce": aux["l_ce"],
+               "loss_adv": aux["l_adv"], "loss_semi": aux["l_semi"],
+               "loss_d": d_loss_v, "acc": acc}
+    return new_state, metrics

@@ -1,0 +1,88 @@
+"""Config 1-2 trainer: ModelNet40 classification (``BASELINE.json:7-8``).
+
+Rebuild of ``upstream:train_classification.py`` (SURVEY.md §2.6, call
+stack §3.1): NLL loss (+ 0.001 * orthogonality regularizer when
+``feature_transform``), Adam + StepLR, per-epoch test accuracy. The whole
+per-batch body — on-device augmentation, forward, backward, update —
+compiles to one jitted step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu import losses
+from adversarial_learning_on_pointclouds_tpu.configs import ClassifyConfig
+from adversarial_learning_on_pointclouds_tpu.data import augment
+from adversarial_learning_on_pointclouds_tpu.models import (
+    apply_classifier, init_classifier,
+)
+from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
+
+FT_REG_WEIGHT = 0.001  # reference's feature-transform regularizer weight
+
+
+def create_state(cfg: ClassifyConfig, steps_per_epoch: int,
+                 rng: Optional[jax.Array] = None) -> state_lib.TrainState:
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    k_init, k_run = jax.random.split(rng)
+    params, bn_state = init_classifier(
+        k_init, cfg.num_classes, cfg.feature_transform,
+        dtype=jnp.dtype(cfg.dtype))
+    tx = make_tx(cfg, steps_per_epoch)
+    return state_lib.TrainState(
+        params=params, bn_state=bn_state, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32), rng=k_run)
+
+
+def make_tx(cfg: ClassifyConfig, steps_per_epoch: int):
+    return state_lib.make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
+        steps_per_epoch)
+
+
+def loss_fn(params, bn_state, points, labels, rng, cfg: ClassifyConfig,
+            ) -> Tuple[jnp.ndarray, Tuple]:
+    logp, _, trans_feat, new_bn = apply_classifier(
+        params, bn_state, points, train=True, rng=rng,
+        dropout_rate=cfg.dropout)
+    loss = losses.nll_loss(logp, labels)
+    if cfg.feature_transform:
+        loss = loss + FT_REG_WEIGHT * losses.orthogonality_reg(trans_feat)
+    acc = jnp.mean(jnp.argmax(logp, -1) == labels)
+    return loss, (new_bn, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def train_step(state: state_lib.TrainState, points: jnp.ndarray,
+               labels: jnp.ndarray, *, cfg: ClassifyConfig, tx,
+               ) -> Tuple[state_lib.TrainState, Dict[str, jnp.ndarray]]:
+    """One fused update: augment -> fwd -> bwd -> Adam. ``points [B,N,3]``."""
+    rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+    if cfg.augment:
+        points = augment.augment_batch(k_aug, points)
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, state.bn_state, points, labels,
+                               k_drop, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state_lib.TrainState(
+        params=new_params, bn_state=new_bn, opt_state=new_opt,
+        step=state.step + 1, rng=rng)
+    return new_state, {"loss": loss, "acc": acc}
+
+
+@functools.partial(jax.jit, static_argnames=("dropout_rate",))
+def eval_step(params, bn_state, points, labels, dropout_rate: float = 0.3,
+              ) -> Dict[str, jnp.ndarray]:
+    """Eval-mode forward (BN running stats, no dropout) + correctness counts."""
+    del dropout_rate
+    logp, _, _, _ = apply_classifier(params, bn_state, points, train=False)
+    pred = jnp.argmax(logp, -1)
+    return {"log_probs": logp, "pred": pred,
+            "correct": jnp.sum(pred == labels)}

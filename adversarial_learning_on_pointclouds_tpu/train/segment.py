@@ -1,0 +1,84 @@
+"""Config 3 trainer: ShapeNet-part segmentation (``BASELINE.json:9``).
+
+Rebuild of ``upstream:train_segmentation.py`` (SURVEY.md §2.6): per-point
+NLL on the 50 part classes (+ ortho regularizer), Adam + StepLR, per-epoch
+instance mIoU with the category-restricted protocol
+(``utils/metrics.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu import losses
+from adversarial_learning_on_pointclouds_tpu.configs import SegmentConfig
+from adversarial_learning_on_pointclouds_tpu.data import augment
+from adversarial_learning_on_pointclouds_tpu.models import (
+    apply_segmenter, init_segmenter,
+)
+from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
+from adversarial_learning_on_pointclouds_tpu.train.classify import FT_REG_WEIGHT
+from adversarial_learning_on_pointclouds_tpu.utils import metrics
+
+
+def create_state(cfg: SegmentConfig, steps_per_epoch: int,
+                 rng: Optional[jax.Array] = None) -> state_lib.TrainState:
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    k_init, k_run = jax.random.split(rng)
+    params, bn_state = init_segmenter(
+        k_init, cfg.num_parts, cfg.feature_transform,
+        dtype=jnp.dtype(cfg.dtype))
+    tx = make_tx(cfg, steps_per_epoch)
+    return state_lib.TrainState(
+        params=params, bn_state=bn_state, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32), rng=k_run)
+
+
+def make_tx(cfg: SegmentConfig, steps_per_epoch: int):
+    return state_lib.make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
+        steps_per_epoch)
+
+
+def loss_fn(params, bn_state, points, part_labels, cfg: SegmentConfig,
+            ) -> Tuple[jnp.ndarray, Tuple]:
+    logp, _, trans_feat, new_bn = apply_segmenter(
+        params, bn_state, points, train=True)
+    loss = losses.nll_loss(logp, part_labels)
+    if cfg.feature_transform:
+        loss = loss + FT_REG_WEIGHT * losses.orthogonality_reg(trans_feat)
+    acc = jnp.mean(jnp.argmax(logp, -1) == part_labels)
+    return loss, (new_bn, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+def train_step(state: state_lib.TrainState, points: jnp.ndarray,
+               part_labels: jnp.ndarray, *, cfg: SegmentConfig, tx,
+               ) -> Tuple[state_lib.TrainState, Dict[str, jnp.ndarray]]:
+    rng, k_aug = jax.random.split(state.rng)
+    if cfg.augment:
+        points = augment.augment_batch(k_aug, points)
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, state.bn_state, points,
+                               part_labels, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    return state_lib.TrainState(new_params, new_bn, new_opt,
+                                state.step + 1, rng), \
+        {"loss": loss, "acc": acc}
+
+
+@jax.jit
+def eval_step(params, bn_state, points, part_labels, categories,
+              ) -> Dict[str, jnp.ndarray]:
+    """Eval forward + on-device per-shape IoU (category-restricted)."""
+    logp, _, _, _ = apply_segmenter(params, bn_state, points, train=False)
+    pred = jnp.argmax(logp, -1)
+    ious = metrics.shape_ious_device(pred, part_labels, categories)
+    return {"pred": pred, "ious": ious,
+            "correct": jnp.sum(pred == part_labels)}

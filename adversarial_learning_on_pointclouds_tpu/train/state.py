@@ -1,0 +1,57 @@
+"""Train state pytrees and optimizer construction.
+
+The reference uses ``torch.optim.Adam(lr=1e-3, betas=(0.9, 0.999))`` with
+``StepLR(step_size=20, gamma=0.5)`` stepped per epoch
+(``upstream:train_*.py``; SURVEY.md §2.6). Here the schedule is expressed
+per optimizer step (staircase decay every ``lr_step * steps_per_epoch``
+steps), which is equivalent for full epochs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import optax
+
+
+class TrainState(NamedTuple):
+    """Single-network train state (configs 1-3, 5)."""
+
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    rng: jax.Array   # threaded PRNG key
+
+
+class GANTrainState(NamedTuple):
+    """Generator + discriminator train state (config 4)."""
+
+    g_params: Any
+    g_bn_state: Any
+    g_opt_state: Any
+    d_params: Any
+    d_opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_optimizer(lr: float, beta1: float, beta2: float,
+                   lr_step_epochs: int, lr_gamma: float,
+                   steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + StepLR-equivalent staircase schedule."""
+    if lr_step_epochs > 0 and steps_per_epoch > 0:
+        schedule = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=lr_step_epochs * steps_per_epoch,
+            decay_rate=lr_gamma,
+            staircase=True,
+        )
+    else:
+        schedule = lr
+    return optax.adam(schedule, b1=beta1, b2=beta2, eps=1e-8)
+
+
+def metrics_to_host(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
+    return {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,91 @@
+"""Benchmark: adversarial (G+D) train-step throughput in points/sec/chip.
+
+Headline metric per ``BASELINE.json:2``: points/sec/chip on the combined
+generator+discriminator adversarial training step (config 4 shapes: batch
+32, 2048 points, 50 parts, feature transform on, on-device augmentation
+fused into the step). Baseline target: 1M points/sec/chip
+(``BASELINE.json:5``); ``vs_baseline`` is measured/1e6.
+
+Prints ONE JSON line. Runs on whatever accelerator is visible (the driver
+runs it on real TPU); pass ``--steps``/``--batch``/``--points`` to vary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--points", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from adversarial_learning_on_pointclouds_tpu.configs import AdversarialConfig
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    n_chips = len(jax.devices())
+    cfg = AdversarialConfig(batch_size=args.batch, num_points=args.points,
+                            feature_transform=True, augment=True,
+                            use_pallas=not args.no_pallas)
+    g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
+
+    rng = np.random.default_rng(0)
+    x_l = jax.device_put(
+        rng.standard_normal((args.batch, args.points, 3)).astype(np.float32))
+    y_l = jax.device_put(
+        rng.integers(0, 50, (args.batch, args.points)).astype(np.int32))
+    x_u = jax.device_put(
+        rng.standard_normal((args.batch, args.points, 3)).astype(np.float32))
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    with use_pallas(cfg.use_pallas and on_tpu):
+        state = adversarial.create_state(cfg, 100)
+        step = lambda s: adversarial.train_step(  # noqa: E731
+            s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+
+        t0 = time.perf_counter()
+        for _ in range(args.warmup):
+            state, metrics = step(state)
+        jax.block_until_ready(state.g_params)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state)
+        jax.block_until_ready(state.g_params)
+        dt = (time.perf_counter() - t0) / args.steps
+
+    # Points processed per G+D step: the labeled + unlabeled clouds.
+    points_per_step = 2 * args.batch * args.points
+    pps_per_chip = points_per_step / dt / n_chips
+
+    if args.verbose:
+        print(f"# warmup+compile {compile_s:.1f}s, {dt * 1e3:.2f} ms/step, "
+              f"{n_chips} chip(s), losses "
+              + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()),
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "adversarial_train_points_per_sec_per_chip",
+        "value": round(pps_per_chip, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(pps_per_chip / 1e6, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

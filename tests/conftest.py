@@ -1,0 +1,52 @@
+"""Test harness config: run everything on an emulated 8-device CPU mesh.
+
+All tests are CPU-runnable (SURVEY.md §4 "Multi-chip without a cluster");
+kernel parity tests run Pallas in interpreter mode here and compiled on
+real TPU. Note this environment's ``sitecustomize`` registers the axon TPU
+plugin at interpreter startup and force-sets ``jax_platforms``; backends
+initialize lazily, so overriding via ``jax.config`` here (before any
+device use) reliably lands the suite on an 8-device CPU mesh.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_key():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session")
+def modelnet_root(tmp_path_factory):
+    from adversarial_learning_on_pointclouds_tpu.data.modelnet40 import (
+        make_synthetic_modelnet_h5,
+    )
+    root = tmp_path_factory.mktemp("modelnet40")
+    return make_synthetic_modelnet_h5(str(root), num_train=48, num_test=16,
+                                      num_points=256)
+
+
+@pytest.fixture(scope="session")
+def shapenet_root(tmp_path_factory):
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        make_synthetic_shapenet,
+    )
+    root = tmp_path_factory.mktemp("shapenet_part")
+    return make_synthetic_shapenet(str(root), num_shapes=48, num_points=256)
+
+
+@pytest.fixture()
+def np_rng():
+    return np.random.default_rng(0)

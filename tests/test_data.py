@@ -1,0 +1,97 @@
+"""Data layer tests against synthetic fixtures with the real schemas."""
+
+import os
+
+import numpy as np
+
+from adversarial_learning_on_pointclouds_tpu.data import (
+    ModelNet40, ShapeNetPart, batch_iterator,
+)
+from adversarial_learning_on_pointclouds_tpu.data.loader import num_batches
+from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+    CATEGORY_PART_RANGES, SEG_CLASSES,
+)
+
+
+def test_modelnet_loader(modelnet_root):
+    train = ModelNet40(modelnet_root, "train")
+    test = ModelNet40(modelnet_root, "test")
+    assert len(train) == 48 and len(test) == 16
+    assert train.points.shape == (48, 256, 3)
+    assert train.points.dtype == np.float32
+    assert train.labels.dtype == np.int32
+    assert train.labels.min() >= 0 and train.labels.max() < 40
+    pts, label = train[0]
+    assert pts.shape == (256, 3)
+
+
+def test_modelnet_shard_concatenation(modelnet_root):
+    # Fixture writes 2 shards listed in train_files.txt; both must load.
+    with open(os.path.join(modelnet_root, "train_files.txt")) as f:
+        shards = [ln.strip() for ln in f if ln.strip()]
+    assert len(shards) == 2
+
+
+def test_shapenet_loader(shapenet_root):
+    train = ShapeNetPart(shapenet_root, "train")
+    assert len(train) == 36
+    pts, seg, cat = train.as_arrays(num_points=128)
+    assert pts.shape == (36, 128, 3)
+    assert seg.shape == (36, 128)
+    # Part labels must lie inside each shape's category range.
+    for i in range(len(train)):
+        start, count = CATEGORY_PART_RANGES[cat[i]]
+        assert seg[i].min() >= start
+        assert seg[i].max() < start + count
+
+
+def test_seg_classes_table_is_partition():
+    """The 16 categories' part ids partition [0, 50) contiguously."""
+    all_parts = sorted(p for parts in SEG_CLASSES.values() for p in parts)
+    assert all_parts == list(range(50))
+    for parts in SEG_CLASSES.values():
+        assert parts == list(range(parts[0], parts[0] + len(parts)))
+
+
+def test_shapenet_class_choice(shapenet_root):
+    full = ShapeNetPart(shapenet_root, "train")
+    cats = set(int(c) for c in full.category)
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        CATEGORY_NAMES,
+    )
+    pick = CATEGORY_NAMES[next(iter(cats))]
+    sub = ShapeNetPart(shapenet_root, "train", class_choice=pick)
+    assert len(sub) >= 1
+    assert all(CATEGORY_NAMES[c] == pick for c in sub.category)
+
+
+def test_batch_iterator_shapes_and_drop_last():
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    y = np.arange(10, dtype=np.int32)
+    batches = list(batch_iterator((x, y), batch_size=4, shuffle=False,
+                                  drop_last=True, prefetch=0))
+    assert len(batches) == 2 == num_batches(10, 4, True)
+    assert batches[0][0].shape == (4, 3)
+
+    padded = list(batch_iterator((x, y), batch_size=4, shuffle=False,
+                                 drop_last=False, prefetch=0))
+    assert len(padded) == 3 == num_batches(10, 4, False)
+    last = padded[-1]
+    assert len(last) == 3  # mask appended
+    assert last[0].shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(last[2]),
+                                  [True, True, False, False])
+
+
+def test_batch_iterator_shuffle_determinism_and_prefetch():
+    x = np.arange(32, dtype=np.float32).reshape(32, 1)
+    a = [np.asarray(b[0]) for b in batch_iterator(
+        (x,), 8, shuffle=True, seed=1, epoch=3, prefetch=0)]
+    b = [np.asarray(b[0]) for b in batch_iterator(
+        (x,), 8, shuffle=True, seed=1, epoch=3, prefetch=2)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    c = [np.asarray(b[0]) for b in batch_iterator(
+        (x,), 8, shuffle=True, seed=1, epoch=4, prefetch=0)]
+    assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+    # Every element appears exactly once.
+    np.testing.assert_array_equal(np.sort(np.concatenate(a), axis=0), x)

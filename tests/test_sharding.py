@@ -1,0 +1,136 @@
+"""Multi-chip DP tests on the emulated 8-device CPU mesh (SURVEY.md §4).
+
+The allreduce-equivalence contract: a DP-sharded step on 8 emulated
+devices computes the same losses and (to fp32 reduction-order noise) the
+same gradients as a single-device step on the full batch. Post-update
+params are NOT compared — Adam's first-step ``g/|g|`` normalization
+amplifies noise on near-zero-grad leaves (conv biases absorbed by BN) to
+±lr by construction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    AdversarialConfig, ClassifyConfig,
+)
+from adversarial_learning_on_pointclouds_tpu.parallel import (
+    batch_sharding, make_mesh, shard_batch,
+)
+from adversarial_learning_on_pointclouds_tpu.parallel.mesh import (
+    replicate_tree, replicated,
+)
+from adversarial_learning_on_pointclouds_tpu.train import adversarial, classify
+
+B, N = 16, 64
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+def _grad_close(tree_a, tree_b, rtol=2e-2):
+    # rtol calibration: beyond fp32 reduction-order noise, the model has
+    # discrete selections whose winner can flip under that noise — the
+    # symmetric max-pool argmax, the semi-loss confidence threshold, and
+    # argmax pseudo-labels — rerouting small gradient contributions to
+    # different points while the loss value stays equal (asserted tightly
+    # in the loss tests). Measured ~1e-2 relative worst leaf. A real DP
+    # bug (per-device BN stats, missing allreduce) produces O(1) errors.
+    # Reduction-order noise scales with the largest values flowing through
+    # the network, not with each leaf's own magnitude — use a global scale.
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(tree_a))
+    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                    jax.tree_util.tree_leaves(tree_b)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d <= rtol * (1.0 + scale), (d, scale)
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["model"] == 1
+    m2 = make_mesh(num_devices=4)
+    assert m2.shape["data"] == 4
+
+
+def test_batch_sharding_places_batch_axis(mesh):
+    x = np.zeros((B, N, 3), np.float32)
+    xs = jax.device_put(x, batch_sharding(mesh, 3))
+    assert len(xs.sharding.device_set) == 8
+    shard_shape = xs.addressable_shards[0].data.shape
+    assert shard_shape == (B // 8, N, 3)
+
+
+def test_classify_dp_loss_matches_single_device(mesh):
+    cfg = ClassifyConfig(num_classes=4, batch_size=B, num_points=N)
+    tx = classify.make_tx(cfg, 1)
+    state = classify.create_state(cfg, 1)
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((B, N, 3)).astype(np.float32)
+    labels = (np.arange(B) % 4).astype(np.int32)
+
+    s1, m1 = classify.train_step(state, jnp.asarray(pts),
+                                 jnp.asarray(labels), cfg=cfg, tx=tx)
+    state_r = replicate_tree(mesh, state)
+    pb, lb = shard_batch(mesh, (pts, labels))
+    s8, m8 = classify.train_step(state_r, pb, lb, cfg=cfg, tx=tx)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    assert float(m1["acc"]) == pytest.approx(float(m8["acc"]), abs=1e-6)
+    # BN running stats are global-batch stats — must match exactly-ish.
+    _grad_close(s1.bn_state, s8.bn_state, rtol=1e-5)
+
+
+def test_adversarial_dp_grads_match_single_device(mesh):
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                            feature_transform=True)
+    state = adversarial.create_state(cfg, 1)
+    rng = np.random.default_rng(0)
+    x_l = rng.standard_normal((B, N, 3)).astype(np.float32)
+    y_l = rng.integers(0, 50, (B, N)).astype(np.int32)
+    x_u = (x_l + 0.1).astype(np.float32)
+    semi_on = jnp.float32(1.0)
+
+    def g_loss(gp, xl, yl, xu):
+        return adversarial._g_loss_fn(gp, state.d_params, state.g_bn_state,
+                                      xl, yl, xu, cfg, semi_on)[0]
+
+    # Loss value must match tightly (continuous quantity, no selections).
+    loss_fn = jax.jit(g_loss)
+    l1 = float(loss_fn(state.g_params, jnp.asarray(x_l), jnp.asarray(y_l),
+                       jnp.asarray(x_u)))
+    grad_fn = jax.jit(jax.grad(g_loss))
+    g1 = grad_fn(state.g_params, jnp.asarray(x_l), jnp.asarray(y_l),
+                 jnp.asarray(x_u))
+    gp_r = replicate_tree(mesh, state.g_params)
+    xb, yb, xub = shard_batch(mesh, (x_l, y_l, x_u))
+    l8 = float(loss_fn(gp_r, xb, yb, xub))
+    assert l1 == pytest.approx(l8, rel=1e-5)
+    g8 = grad_fn(gp_r, xb, yb, xub)
+    _grad_close(g1, g8)
+
+
+def test_adversarial_dp_full_step_runs_sharded(mesh):
+    """The full G+D jitted step executes with sharded inputs and the
+    output state stays replicated (params identical across devices)."""
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                            feature_transform=False)
+    g_tx, d_tx = adversarial.make_txs(cfg, 1)
+    state = replicate_tree(mesh, adversarial.create_state(cfg, 1))
+    rng = np.random.default_rng(1)
+    x_l, y_l, x_u = shard_batch(mesh, (
+        rng.standard_normal((B, N, 3)).astype(np.float32),
+        rng.integers(0, 50, (B, N)).astype(np.int32),
+        rng.standard_normal((B, N, 3)).astype(np.float32)))
+    new_state, m = adversarial.train_step(state, x_l, y_l, x_u,
+                                          cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
