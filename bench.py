@@ -61,13 +61,15 @@ def main() -> None:
         t0 = time.perf_counter()
         for _ in range(args.warmup):
             state, metrics = step(state)
-        jax.block_until_ready(state.g_params)
+        # Host readback: through the axon tunnel, block_until_ready is not
+        # a reliable execution barrier — fetching a value is.
+        float(metrics["loss_g"])
         compile_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step(state)
-        jax.block_until_ready(state.g_params)
+        float(metrics["loss_g"])
         dt = (time.perf_counter() - t0) / args.steps
 
     # Points processed per G+D step: the labeled + unlabeled clouds.
