@@ -50,7 +50,8 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
 
     def put(batch):
         if sharding is not None:
-            return tuple(jax.device_put(a, sharding) for a in batch)
+            return tuple(jax.device_put(a, _fit_rank(sharding, a.ndim))
+                         for a in batch)
         return tuple(jax.device_put(a) for a in batch)
 
     if prefetch <= 0:
@@ -65,8 +66,9 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
         try:
             for batch in host_batches():
                 q.put(put(batch))
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -74,8 +76,19 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
         item = q.get()
         if item is _SENTINEL:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
 def num_batches(n: int, batch_size: int, drop_last: bool = True) -> int:
     return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def _fit_rank(sharding: jax.sharding.Sharding, ndim: int):
+    """Adapt a batch sharding to an array's rank (labels are rank 1-2)."""
+    if isinstance(sharding, jax.sharding.NamedSharding):
+        spec = list(sharding.spec) + [None] * ndim
+        return jax.sharding.NamedSharding(
+            sharding.mesh, jax.sharding.PartitionSpec(*spec[:ndim]))
+    return sharding

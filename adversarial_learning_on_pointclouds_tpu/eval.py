@@ -1,0 +1,75 @@
+"""Evaluation loops (SURVEY.md §2.6 "Eval scripts", §3.5).
+
+Classification: overall + average per-class accuracy (the reference's
+``eval`` pass / ``show_cls``-style scripts). Segmentation: per-shape
+category-restricted IoU averaged over shapes (instance mIoU) + the
+per-category table. Batched inference reuses the fused Pallas encoder
+kernels when enabled (``BASELINE.json:5`` "Inference runs the same fused
+encoder kernels").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from adversarial_learning_on_pointclouds_tpu.data.loader import batch_iterator
+from adversarial_learning_on_pointclouds_tpu.train import classify, segment
+from adversarial_learning_on_pointclouds_tpu.utils import metrics
+
+
+def evaluate_classifier(params, bn_state, points: np.ndarray,
+                        labels: np.ndarray, batch_size: int = 32,
+                        num_classes: int = 40) -> Dict[str, float]:
+    """Returns overall accuracy and average per-class accuracy."""
+    preds, gts = [], []
+    for batch in batch_iterator((points, labels), batch_size,
+                                shuffle=False, drop_last=False):
+        pts, lab = batch[0], batch[1]
+        mask = np.asarray(batch[2]) if len(batch) == 3 else None
+        out = classify.eval_step(params, bn_state, pts, lab)
+        p = np.asarray(out["pred"])
+        l_ = np.asarray(lab)
+        if mask is not None:
+            p, l_ = p[mask], l_[mask]
+        preds.append(p)
+        gts.append(l_)
+    pred = np.concatenate(preds)
+    gt = np.concatenate(gts)
+    overall, avg_class = metrics.class_accuracies(pred, gt, num_classes)
+    return {"accuracy": overall, "avg_class_accuracy": avg_class,
+            "num_examples": float(len(gt))}
+
+
+def evaluate_segmenter(params, bn_state, points: np.ndarray,
+                       part_labels: np.ndarray, categories: np.ndarray,
+                       batch_size: int = 32,
+                       ) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """Returns (summary, per-category mIoU table)."""
+    ious, accs, preds, gts, cats = [], [], [], [], []
+    for batch in batch_iterator((points, part_labels, categories),
+                                batch_size, shuffle=False, drop_last=False):
+        pts, lab, cat = batch[0], batch[1], batch[2]
+        mask = np.asarray(batch[3]) if len(batch) == 4 else None
+        out = segment.eval_step(params, bn_state, pts, lab, cat)
+        iou = np.asarray(out["ious"])
+        pred = np.asarray(out["pred"])
+        labn, catn = np.asarray(lab), np.asarray(cat)
+        if mask is not None:
+            iou, pred, labn, catn = iou[mask], pred[mask], labn[mask], catn[mask]
+        ious.append(iou)
+        accs.append((pred == labn).mean(axis=1))
+        preds.append(pred)
+        gts.append(labn)
+        cats.append(catn)
+    iou_all = np.concatenate(ious)
+    summary = {
+        "instance_miou": float(iou_all.mean()),
+        "point_accuracy": float(np.concatenate(accs).mean()),
+        "num_shapes": float(len(iou_all)),
+    }
+    table = metrics.category_miou(np.concatenate(preds), np.concatenate(gts),
+                                  np.concatenate(cats))
+    return summary, table

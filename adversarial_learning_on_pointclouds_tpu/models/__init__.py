@@ -10,7 +10,7 @@ from adversarial_learning_on_pointclouds_tpu.models.tnet import (  # noqa: F401
     init_tnet, apply_tnet,
 )
 from adversarial_learning_on_pointclouds_tpu.models.encoder import (  # noqa: F401
-    init_encoder, apply_encoder,
+    init_encoder, apply_encoder, apply_encoder_parts,
 )
 from adversarial_learning_on_pointclouds_tpu.models.classifier import (  # noqa: F401
     init_classifier, apply_classifier,
@@ -19,5 +19,6 @@ from adversarial_learning_on_pointclouds_tpu.models.segmenter import (  # noqa: 
     init_segmenter, apply_segmenter,
 )
 from adversarial_learning_on_pointclouds_tpu.models.discriminator import (  # noqa: F401
-    init_discriminator, apply_discriminator,
+    init_discriminator, apply_discriminator, apply_discriminator_fused,
 )
+from adversarial_learning_on_pointclouds_tpu.models import core  # noqa: F401

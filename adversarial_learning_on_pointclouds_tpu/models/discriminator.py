@@ -37,8 +37,25 @@ def init_discriminator(key: jax.Array, num_parts: int = 50, ndf: int = 64,
 
 def apply_discriminator(params: core.Params, prob_map: jnp.ndarray,
                         ) -> jnp.ndarray:
-    """``prob_map: [B, N, k]`` -> per-point real/fake logits ``[B, N, 1]``."""
+    """``prob_map: [B, N, k]`` -> per-point real/fake logits ``[B, N, 1]``.
+
+    Differentiable path (used inside the G and D train steps).
+    """
     h = prob_map
     for i in range(1, 5):
         h = ops.linear_act(params[f"conv{i}"], h, act="leaky_relu")
     return ops.linear_act(params["conv5"], h, act=None)
+
+
+def apply_discriminator_fused(params: core.Params, prob_map: jnp.ndarray,
+                              ) -> jnp.ndarray:
+    """Inference-only: the whole 5-layer stack as ONE Pallas kernel
+    (weights resident in VMEM across layers; SURVEY.md §2.9
+    ``kernels/disc_head.py``). Not differentiable — eval scripts only."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
+
+    ws = [params[f"conv{i}"]["w"] for i in range(1, 6)]
+    shifts = [params[f"conv{i}"]["b"] for i in range(1, 6)]
+    scales = [jnp.ones((w.shape[1],), prob_map.dtype) for w in ws]
+    acts = ["leaky_relu"] * 4 + [None]
+    return shared_mlp.fused_mlp_stack(prob_map, ws, shifts, scales, acts)

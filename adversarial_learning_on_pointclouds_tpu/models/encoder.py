@@ -43,16 +43,13 @@ def init_encoder(key: jax.Array, feature_transform: bool = False,
     return params, state
 
 
-def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
-                  train: bool, global_feat: bool = True,
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
-                             core.BnState]:
-    """Returns ``(feature, trans, trans_feat, new_state)``.
-
-    ``feature`` is ``[B, 1024]`` when ``global_feat`` else ``[B, N, 1088]``;
-    ``trans`` is the input 3x3 transform, ``trans_feat`` the 64x64 feature
-    transform (or None) for the orthogonality regularizer.
-    """
+def apply_encoder_parts(params: core.Params, state: core.BnState,
+                        x: jnp.ndarray, train: bool,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                   Optional[jnp.ndarray], core.BnState]:
+    """Returns ``(point_feat [B,N,64], global [B,1024], trans, trans_feat,
+    new_state)`` — the raw pieces, letting callers (the fused seg head)
+    avoid materializing the 1088-d concat."""
     new_state = {}
     trans, new_state["stn"] = apply_tnet(params["stn"], state["stn"], x, train)
     x = core.matmul(x, trans)
@@ -66,16 +63,44 @@ def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
         x = core.matmul(x, trans_feat)
 
     point_feat = x  # [B, N, 64]
-    x, new_state["bn2"] = ops.linear_bn_act(
-        params["conv2"], params["bn2"], state["bn2"], x, train, "relu")
-    x, new_state["bn3"] = ops.linear_bn_act(
-        params["conv3"], params["bn3"], state["bn3"], x, train, act=None)
-    global_feature = ops.max_points(x)  # [B, 1024]
+    if not train and ops.pallas_enabled():
+        # Inference: conv2 -> conv3 -> max-pool as one Pallas megakernel;
+        # the [B, N, 1024] pre-pool tensor never reaches HBM.
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            encoder_fused,
+        )
+        w2, s2, c2 = ops.folded_affine(params["conv2"], params["bn2"],
+                                       state["bn2"])
+        w3, s3, c3 = ops.folded_affine(params["conv3"], params["bn3"],
+                                       state["bn3"])
+        global_feature = encoder_fused.fused_stack_maxpool(
+            point_feat, (w2, w3), (s2, s3), (c2, c3), ("relu", None))
+        new_state["bn2"], new_state["bn3"] = state["bn2"], state["bn3"]
+    else:
+        x, new_state["bn2"] = ops.linear_bn_act(
+            params["conv2"], params["bn2"], state["bn2"], x, train, "relu")
+        x, new_state["bn3"] = ops.linear_bn_act(
+            params["conv3"], params["bn3"], state["bn3"], x, train, act=None)
+        global_feature = ops.max_points(x)  # [B, 1024]
+    return point_feat, global_feature, trans, trans_feat, new_state
 
+
+def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
+                  train: bool, global_feat: bool = True,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
+                             core.BnState]:
+    """Reference-shaped API: ``(feature, trans, trans_feat, new_state)``.
+
+    ``feature`` is ``[B, 1024]`` when ``global_feat`` else the
+    ``[B, N, 1088]`` per-point concat (``upstream:pointnet/model.py::
+    PointNetfeat``). The segmenter's Pallas path uses
+    ``apply_encoder_parts`` directly to skip the concat.
+    """
+    point_feat, g, trans, trans_feat, new_state = apply_encoder_parts(
+        params, state, x, train)
     if global_feat:
-        return global_feature, trans, trans_feat, new_state
-    n = point_feat.shape[1]
-    tiled = jnp.broadcast_to(global_feature[:, None, :],
-                             (x.shape[0], n, global_feature.shape[-1]))
+        return g, trans, trans_feat, new_state
+    b, n = point_feat.shape[0], point_feat.shape[1]
+    tiled = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
     feat = jnp.concatenate([point_feat, tiled], axis=-1)  # [B, N, 1088]
     return feat, trans, trans_feat, new_state

@@ -42,6 +42,28 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
                                Optional[jnp.ndarray], core.BnState]:
     """``x: [B, N, 3]`` -> ``(log_probs [B, N, k], trans, trans_feat, state)``."""
     new_state = {}
+    if not train and ops.pallas_enabled():
+        # Inference: stream the global feature into the head's first-layer
+        # epilogue — the [B, N, 1088] concat never exists (SURVEY.md §3.2).
+        from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+            apply_encoder_parts,
+        )
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            encoder_fused,
+        )
+        pf, g, trans, trans_feat, new_state["feat"] = apply_encoder_parts(
+            params["feat"], state["feat"], x, train)
+        folded = [ops.folded_affine(params[f"conv{i}"], params[f"bn{i}"],
+                                    state[f"bn{i}"]) for i in (1, 2, 3)]
+        logp = encoder_fused.seg_head_fused(
+            pf, g,
+            folded[0][0], folded[0][1], folded[0][2],
+            folded[1][0], folded[1][1], folded[1][2],
+            folded[2][0], folded[2][1], folded[2][2],
+            params["conv4"]["w"], params["conv4"]["b"].reshape(1, -1))
+        for i in (1, 2, 3):
+            new_state[f"bn{i}"] = state[f"bn{i}"]
+        return logp, trans, trans_feat, new_state
     h, trans, trans_feat, new_state["feat"] = apply_encoder(
         params["feat"], state["feat"], x, train, global_feat=False)
     for i in range(1, 4):

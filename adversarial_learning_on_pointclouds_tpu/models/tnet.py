@@ -44,12 +44,26 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
     """``x: [B, N, k]`` -> transform ``[B, k, k]`` (+ updated BN state)."""
     k = x.shape[-1]  # fc3 emits k*k; k == input channel count
     new_state = {}
-    h = x
-    for i in range(1, 4):
-        h, new_state[f"bn{i}"] = ops.linear_bn_act(
-            params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
-            train=train, act="relu")
-    h = ops.max_points(h)  # [B, 1024] symmetric pool
+    if not train and ops.pallas_enabled():
+        # Inference: whole conv trunk + symmetric max-pool as ONE Pallas
+        # kernel — [B, N, 1024] never hits HBM (encoder_fused megakernel).
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            encoder_fused,
+        )
+        ws, shs, scs = zip(*(
+            ops.folded_affine(params[f"conv{i}"], params[f"bn{i}"],
+                              state[f"bn{i}"]) for i in (1, 2, 3)))
+        h = encoder_fused.fused_stack_maxpool(
+            x, ws, shs, scs, ("relu", "relu", "relu"))
+        for i in (1, 2, 3):
+            new_state[f"bn{i}"] = state[f"bn{i}"]
+    else:
+        h = x
+        for i in range(1, 4):
+            h, new_state[f"bn{i}"] = ops.linear_bn_act(
+                params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
+                train=train, act="relu")
+        h = ops.max_points(h)  # [B, 1024] symmetric pool
     for i in range(1, 3):
         h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(
             params[f"fc{i}"], params[f"bn_fc{i}"], state[f"bn_fc{i}"], h,

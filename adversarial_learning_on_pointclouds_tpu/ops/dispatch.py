@@ -88,14 +88,24 @@ def linear_bn_act(dense_p, bn_p, bn_s, x: jnp.ndarray, train: bool,
     return _act(z, act), bn_s
 
 
+def folded_affine(dense_p, bn_p, bn_s):
+    """Fold BN running stats into (w, shift, scale) for eval-path fusion:
+    ``act((x @ w) * scale + shift)`` == ``act(bn(x @ w + b))``."""
+    inv = jax.lax.rsqrt(bn_s["var"] + core.BN_EPS)
+    scale = bn_p["scale"] * inv
+    shift = bn_p["bias"] - bn_s["mean"] * scale
+    return dense_p["w"], dense_p["b"] * scale + shift, scale
+
+
 def linear_act(dense_p, x: jnp.ndarray, act: Optional[str] = None,
                ) -> jnp.ndarray:
-    """Pointwise matmul + optional activation (no BN) — discriminator blocks."""
-    if pallas_enabled() and x.ndim == 3:
-        from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
-        ones = jnp.ones((dense_p["w"].shape[1],), x.dtype)
-        return shared_mlp.fused_linear_affine_act(
-            x, dense_p["w"], dense_p["b"].astype(x.dtype), ones, act)
+    """Pointwise matmul + optional activation (no BN) — discriminator blocks.
+
+    Differentiable on both paths (the Pallas matmul carries a custom VJP;
+    the activation fuses into its epilogue under XLA). The fully-fused
+    non-differentiable stack kernel is exposed separately as
+    ``apply_discriminator_fused`` for pure inference.
+    """
     return _act(_matmul(x, dense_p["w"], dense_p["b"]), act)
 
 

@@ -1,0 +1,230 @@
+"""Full training runs for the five baseline configs — the engine behind
+the CLI scripts (SURVEY.md §2.6; call stack §3.1).
+
+Each runner: loads data (synthetic fixtures when ``cfg.dataset`` is
+empty — no datasets ship in this environment), builds the DP mesh,
+replicates state, iterates epochs with prefetched sharded batches,
+evaluates per epoch, checkpoints per epoch, and logs CSV/stdout metrics
+including the points/sec/chip meter.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from adversarial_learning_on_pointclouds_tpu import eval as eval_lib
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    AdversarialConfig, AdvPerturbConfig, ClassifyConfig, SegmentConfig,
+)
+from adversarial_learning_on_pointclouds_tpu.data import (
+    ModelNet40, ShapeNetPart, make_synthetic_modelnet_h5,
+    make_synthetic_shapenet,
+)
+from adversarial_learning_on_pointclouds_tpu.data.loader import (
+    batch_iterator, num_batches,
+)
+from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+from adversarial_learning_on_pointclouds_tpu.parallel import (
+    batch_sharding, make_mesh,
+)
+from adversarial_learning_on_pointclouds_tpu.parallel.mesh import (
+    replicate_tree,
+)
+from adversarial_learning_on_pointclouds_tpu.train import (
+    adv_perturb, adversarial, classify, segment,
+)
+from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+from adversarial_learning_on_pointclouds_tpu.utils.logging import MetricLogger
+from adversarial_learning_on_pointclouds_tpu.utils.profiling import maybe_trace
+
+
+def _modelnet_arrays(cfg) -> Tuple[np.ndarray, np.ndarray,
+                                   np.ndarray, np.ndarray]:
+    root = cfg.dataset
+    if not root:
+        root = os.path.join(tempfile.gettempdir(), "pointtpu_modelnet40")
+        if not os.path.exists(os.path.join(root, "train_files.txt")):
+            make_synthetic_modelnet_h5(root)
+    train, test = ModelNet40(root, "train"), ModelNet40(root, "test")
+
+    def subsample(points):
+        if points.shape[1] == cfg.num_points:
+            return points
+        rng = np.random.default_rng(cfg.seed)
+        idx = rng.choice(points.shape[1], cfg.num_points,
+                         replace=points.shape[1] < cfg.num_points)
+        return points[:, idx]
+
+    return (subsample(train.points), train.labels,
+            subsample(test.points), test.labels)
+
+
+def _shapenet_arrays(cfg):
+    root = cfg.dataset
+    if not root:
+        root = os.path.join(tempfile.gettempdir(), "pointtpu_shapenet")
+        if not (os.path.isdir(root) and os.listdir(root)):
+            make_synthetic_shapenet(root, num_shapes=96,
+                                    num_points=cfg.num_points)
+    train = ShapeNetPart(root, "train", class_choice=cfg.class_choice)
+    try:
+        test = ShapeNetPart(root, "test", class_choice=cfg.class_choice)
+    except (FileNotFoundError, OSError):
+        test = train
+    tr = train.as_arrays(cfg.num_points, seed=cfg.seed)
+    te = test.as_arrays(cfg.num_points, seed=cfg.seed + 1)
+    return tr, te
+
+
+def _setup(cfg):
+    mesh = make_mesh(cfg.num_devices)
+    n_chips = mesh.shape["data"] * mesh.shape["model"]
+    sharding = batch_sharding(mesh, 3)
+    return mesh, n_chips, sharding
+
+
+def run_classification(cfg: ClassifyConfig,
+                       epochs: Optional[int] = None) -> dict:
+    """Configs 1-2: mirrors ``upstream:train_classification.py``."""
+    epochs = epochs if epochs is not None else cfg.epochs
+    x_tr, y_tr, x_te, y_te = _modelnet_arrays(cfg)
+    mesh, n_chips, sharding = _setup(cfg)
+    spe = num_batches(len(x_tr), cfg.batch_size)
+    tx = classify.make_tx(cfg, spe)
+    state = classify.create_state(cfg, spe)
+    if cfg.resume:
+        state = checkpoint.load_params_only(cfg.resume, state)
+    state = replicate_tree(mesh, state)
+    logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
+    pts_per_step = cfg.batch_size * cfg.num_points
+    best = 0.0
+    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+        for epoch in range(epochs):
+            for bi, (pts, lab) in enumerate(batch_iterator(
+                    (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
+                    sharding=sharding)):
+                state, m = classify.train_step(state, pts, lab,
+                                               cfg=cfg, tx=tx)
+                logger.log_step(epoch, bi, spe, int(state.step), m,
+                                pts_per_step, n_chips)
+            ev = eval_lib.evaluate_classifier(
+                state.params, state.bn_state, x_te, y_te, cfg.batch_size,
+                cfg.num_classes)
+            best = max(best, ev["accuracy"])
+            logger.log_epoch(epoch, **ev)
+            checkpoint.save(cfg.out_dir, epoch, state)
+    logger.close()
+    return {"best_accuracy": best, "state": state}
+
+
+def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
+    """Config 3: mirrors ``upstream:train_segmentation.py``."""
+    epochs = epochs if epochs is not None else cfg.epochs
+    (x_tr, s_tr, c_tr), (x_te, s_te, c_te) = _shapenet_arrays(cfg)
+    mesh, n_chips, sharding = _setup(cfg)
+    spe = num_batches(len(x_tr), cfg.batch_size)
+    tx = segment.make_tx(cfg, spe)
+    state = segment.create_state(cfg, spe)
+    if cfg.resume:
+        state = checkpoint.load_params_only(cfg.resume, state)
+    state = replicate_tree(mesh, state)
+    logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
+    pts_per_step = cfg.batch_size * cfg.num_points
+    best = 0.0
+    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+        for epoch in range(epochs):
+            for bi, (pts, lab) in enumerate(batch_iterator(
+                    (x_tr, s_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
+                    sharding=sharding)):
+                state, m = segment.train_step(state, pts, lab, cfg=cfg, tx=tx)
+                logger.log_step(epoch, bi, spe, int(state.step), m,
+                                pts_per_step, n_chips)
+            ev, table = eval_lib.evaluate_segmenter(
+                state.params, state.bn_state, x_te, s_te, c_te,
+                cfg.batch_size)
+            best = max(best, ev["instance_miou"])
+            logger.log_epoch(epoch, **ev)
+            checkpoint.save(cfg.out_dir, epoch, state)
+    logger.close()
+    return {"best_miou": best, "state": state, "category_miou": table}
+
+
+def run_adversarial(cfg: AdversarialConfig,
+                    epochs: Optional[int] = None) -> dict:
+    """Config 4: mirrors ``upstream:train_adversarial*.py`` — labeled/
+    unlabeled split by ``labeled_ratio``, alternating G/D single-jit
+    updates, semi-supervised masked loss."""
+    epochs = epochs if epochs is not None else cfg.epochs
+    (x_tr, s_tr, c_tr), (x_te, s_te, c_te) = _shapenet_arrays(cfg)
+    n_lab = max(int(len(x_tr) * cfg.labeled_ratio), cfg.batch_size)
+    mesh, n_chips, sharding = _setup(cfg)
+    spe = max(num_batches(n_lab, cfg.batch_size), 1)
+    g_tx, d_tx = adversarial.make_txs(cfg, spe)
+    state = adversarial.create_state(cfg, spe)
+    if cfg.resume:
+        state = checkpoint.load_params_only(cfg.resume, state)
+    state = replicate_tree(mesh, state)
+    logger = MetricLogger(cfg.out_dir, "adv", quiet=cfg.quiet)
+    pts_per_step = 2 * cfg.batch_size * cfg.num_points
+    best = 0.0
+    x_unl = x_tr[n_lab:] if len(x_tr) > n_lab + cfg.batch_size else x_tr
+    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+        for epoch in range(epochs):
+            lab_it = batch_iterator((x_tr[:n_lab], s_tr[:n_lab]),
+                                    cfg.batch_size, seed=cfg.seed,
+                                    epoch=epoch, sharding=sharding)
+            unl_it = batch_iterator((x_unl,), cfg.batch_size,
+                                    seed=cfg.seed + 1, epoch=epoch,
+                                    sharding=sharding)
+            for bi, ((x_l, y_l), (x_u,)) in enumerate(zip(lab_it, unl_it)):
+                state, m = adversarial.train_step(
+                    state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                logger.log_step(epoch, bi, spe, int(state.step), m,
+                                pts_per_step, n_chips)
+            ev, table = eval_lib.evaluate_segmenter(
+                state.g_params, state.g_bn_state, x_te, s_te, c_te,
+                cfg.batch_size)
+            best = max(best, ev["instance_miou"])
+            logger.log_epoch(epoch, **ev)
+            checkpoint.save(cfg.out_dir, epoch, state)
+    logger.close()
+    return {"best_miou": best, "state": state, "category_miou": table}
+
+
+def run_adv_perturb(cfg: AdvPerturbConfig,
+                    epochs: Optional[int] = None) -> dict:
+    """Config 5: FGSM perturbation training (+ DP, same mesh plumbing)."""
+    epochs = epochs if epochs is not None else cfg.epochs
+    x_tr, y_tr, x_te, y_te = _modelnet_arrays(cfg)
+    mesh, n_chips, sharding = _setup(cfg)
+    spe = num_batches(len(x_tr), cfg.batch_size)
+    tx = adv_perturb.make_tx(cfg, spe)
+    state = adv_perturb.create_state(cfg, spe)
+    if cfg.resume:
+        state = checkpoint.load_params_only(cfg.resume, state)
+    state = replicate_tree(mesh, state)
+    logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
+    pts_per_step = cfg.batch_size * cfg.num_points
+    best = 0.0
+    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+        for epoch in range(epochs):
+            for bi, (pts, lab) in enumerate(batch_iterator(
+                    (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
+                    sharding=sharding)):
+                state, m = adv_perturb.train_step(state, pts, lab,
+                                                  cfg=cfg, tx=tx)
+                logger.log_step(epoch, bi, spe, int(state.step), m,
+                                pts_per_step, n_chips)
+            ev = eval_lib.evaluate_classifier(
+                state.params, state.bn_state, x_te, y_te, cfg.batch_size,
+                cfg.num_classes)
+            best = max(best, ev["accuracy"])
+            logger.log_epoch(epoch, **ev)
+            checkpoint.save(cfg.out_dir, epoch, state)
+    logger.close()
+    return {"best_accuracy": best, "state": state}

@@ -1,0 +1,72 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5 "Checkpoint / resume").
+
+The reference ``torch.save``s the model state_dict each epoch and
+warm-starts params-only via ``--model path.pth`` (optimizer state is NOT
+saved in the lineage). Here the default is strictly stronger: the FULL
+train state (params, BN stats, both optimizer states, RNG key, step)
+round-trips through step-numbered orbax directories, with
+``load_params_only`` mirroring the reference's weaker resume semantics
+(``--compat_resume``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save(ckpt_dir: str, step: int, state: Any) -> str:
+    """Save a pytree train state under ``ckpt_dir/<step>``."""
+    path = os.path.join(_abs(ckpt_dir), str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    d = _abs(ckpt_dir)
+    if not os.path.isdir(d):
+        return None
+    steps = [int(n) for n in os.listdir(d) if n.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore(ckpt_dir: str, state_like: Any, step: Optional[int] = None) -> Any:
+    """Restore the full train state (structure taken from ``state_like``).
+
+    ``step=None`` restores the latest checkpoint (``--resume latest``).
+    """
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    path = os.path.join(_abs(ckpt_dir), str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = jax.tree_util.tree_map(np.asarray, jax.device_get(state_like))
+        restored = ckptr.restore(path, target)
+    return jax.tree_util.tree_map(
+        lambda like, val: jax.numpy.asarray(val, dtype=like.dtype),
+        state_like, restored)
+
+
+def load_params_only(ckpt_dir: str, state_like: Any,
+                     step: Optional[int] = None) -> Any:
+    """Reference-compat resume: take params + BN stats from the
+    checkpoint, keep fresh optimizer state / step / RNG (the lineage's
+    ``--model`` warm-start restarts the optimizer)."""
+    restored = restore(ckpt_dir, state_like, step)
+    fields = {}
+    for name in state_like._fields:
+        if "params" in name or "bn_state" in name:
+            fields[name] = getattr(restored, name)
+        else:
+            fields[name] = getattr(state_like, name)
+    return type(state_like)(**fields)

@@ -1,0 +1,74 @@
+"""Structured training logs (SURVEY.md §5 "Metrics / logging").
+
+The reference prints ``[epoch: batch/num] train loss: x accuracy: y`` per
+batch. ``MetricLogger`` keeps that stdout format (``--quiet`` trims it to
+reference parity), appends every scalar to a CSV, and — when TensorBoard
+is importable — mirrors them as TB scalars. Also computes the headline
+points/sec/chip meter (``BASELINE.json:2``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, out_dir: str, run_name: str = "train",
+                 quiet: bool = False, tensorboard: bool = False):
+        os.makedirs(out_dir, exist_ok=True)
+        self.quiet = quiet
+        self.csv_path = os.path.join(out_dir, f"{run_name}_metrics.csv")
+        self._csv_file = open(self.csv_path, "a", newline="")
+        self._csv: Optional[csv.DictWriter] = None
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+            except Exception:
+                self._tb = None
+        self._step_t0 = time.perf_counter()
+
+    def log_step(self, epoch: int, batch: int, num_batches: int, step: int,
+                 metrics: Dict[str, float], points_per_step: int = 0,
+                 num_chips: int = 1) -> None:
+        now = time.perf_counter()
+        dt = now - self._step_t0
+        self._step_t0 = now
+        row = {"epoch": epoch, "batch": batch, "step": step,
+               "step_time_s": round(dt, 5)}
+        if points_per_step:
+            row["points_per_sec_per_chip"] = round(
+                points_per_step / dt / num_chips, 1)
+        row.update({k: float(v) for k, v in metrics.items()})
+        if self._csv is None:
+            self._csv = csv.DictWriter(self._csv_file, fieldnames=row.keys())
+            if self._csv_file.tell() == 0:
+                self._csv.writeheader()
+        self._csv.writerow(row)
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("epoch", "batch", "step"):
+                    self._tb.add_scalar(k, v, step)
+        if not self.quiet:
+            parts = " ".join(f"{k}: {float(v):.6f}"
+                             for k, v in metrics.items())
+            print(f"[{epoch}: {batch}/{num_batches}] {parts}")
+            sys.stdout.flush()
+
+    def log_epoch(self, epoch: int, **scalars: float) -> None:
+        parts = " ".join(f"{k}: {v:.6f}" for k, v in scalars.items())
+        print(f"[epoch {epoch}] {parts}")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(f"epoch/{k}", v, epoch)
+        sys.stdout.flush()
+
+    def close(self) -> None:
+        self._csv_file.close()
+        if self._tb is not None:
+            self._tb.close()

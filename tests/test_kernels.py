@@ -1,0 +1,192 @@
+"""Pallas kernel parity vs. jnp reference paths (SURVEY.md §4).
+
+On CPU the kernels run in interpreter mode (exact same logic, no Mosaic);
+the same tests compile for real when run on TPU. Tolerances are fp32
+matmul reduction-order level.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adversarial_learning_on_pointclouds_tpu.models import (
+    apply_classifier, apply_discriminator, apply_discriminator_fused,
+    apply_segmenter, init_classifier, init_discriminator, init_segmenter,
+)
+from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+    encoder_fused, shared_mlp,
+)
+
+B, N = 2, 128
+RTOL = 2e-5
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def _close(a, b, rtol=RTOL):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(np.abs(b).max(), 1.0)
+    np.testing.assert_allclose(a, b, atol=rtol * scale, rtol=0)
+
+
+def test_pointwise_matmul_forward():
+    x, w, b = _rand(0, (B, N, 64)), _rand(1, (64, 128)), _rand(2, (128,))
+    _close(shared_mlp.pointwise_matmul(x, w, b), x @ w + b)
+
+
+def test_pointwise_matmul_odd_channels():
+    # Cin=3 / Cout=50 exercise Mosaic's sublane/lane padding.
+    x, w, b = _rand(0, (B, N, 3)), _rand(1, (3, 50)), _rand(2, (50,))
+    _close(shared_mlp.pointwise_matmul(x, w, b), x @ w + b)
+
+
+def test_pointwise_matmul_vjp():
+    x, w, b = _rand(0, (B, N, 16)), _rand(1, (16, 32)), _rand(2, (32,))
+
+    def f(x, w, b):
+        return jnp.sum(jnp.sin(shared_mlp.pointwise_matmul(x, w, b)))
+
+    def f_ref(x, w, b):
+        return jnp.sum(jnp.sin(x @ w + b))
+
+    g = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g, gr):
+        _close(a, r)
+
+
+def test_fused_linear_affine_act():
+    x, w = _rand(0, (B, N, 64)), _rand(1, (64, 128))
+    scale = jax.random.uniform(jax.random.PRNGKey(2), (128,), minval=0.5,
+                               maxval=1.5)
+    shift = _rand(3, (128,))
+    for act, ref_act in (("relu", lambda z: jnp.maximum(z, 0)),
+                         ("leaky_relu",
+                          lambda z: jnp.where(z >= 0, z, 0.2 * z)),
+                         (None, lambda z: z)):
+        y = shared_mlp.fused_linear_affine_act(x, w, shift, scale, act)
+        _close(y, ref_act((x @ w) * scale + shift))
+
+
+def test_fused_mlp_stack_matches_layerwise():
+    x = _rand(0, (B, N, 50))
+    ws = [_rand(1, (50, 64)), _rand(2, (64, 128)), _rand(3, (128, 1))]
+    shifts = [_rand(4, (64,)), _rand(5, (128,)), _rand(6, (1,))]
+    scales = [jnp.ones(64), jnp.ones(128), jnp.ones(1)]
+    acts = ["leaky_relu", "leaky_relu", None]
+    y = shared_mlp.fused_mlp_stack(x, ws, shifts, scales, acts)
+    h = x
+    for w, s, a in zip(ws, shifts, acts):
+        h = h @ w + s
+        if a:
+            h = jnp.where(h >= 0, h, 0.2 * h)
+    _close(y, h)
+
+
+def test_fused_stack_maxpool():
+    x = _rand(0, (B, N, 64))
+    ws = [_rand(1, (64, 128)), _rand(2, (128, 256))]
+    shifts = [_rand(3, (128,)), _rand(4, (256,))]
+    scales = [jax.random.uniform(jax.random.PRNGKey(5), (128,)) + 0.5,
+              jax.random.uniform(jax.random.PRNGKey(6), (256,)) + 0.5]
+    y = encoder_fused.fused_stack_maxpool(x, ws, shifts, scales,
+                                          ("relu", None))
+    h = jnp.maximum((x @ ws[0]) * scales[0] + shifts[0], 0)
+    h = (h @ ws[1]) * scales[1] + shifts[1]
+    _close(y, jnp.max(h, axis=1))
+
+
+def test_seg_head_fused():
+    pf, g = _rand(0, (B, N, 64)), _rand(1, (B, 1024))
+    w1 = _rand(2, (1088, 512)) * 0.05
+    w2, w3, w4 = (_rand(3, (512, 256)) * 0.05, _rand(4, (256, 128)) * 0.05,
+                  _rand(5, (128, 50)) * 0.05)
+    s1, s2, s3 = _rand(6, (512,)), _rand(7, (256,)), _rand(8, (128,))
+    c1 = jax.random.uniform(jax.random.PRNGKey(9), (512,)) + 0.5
+    c2 = jax.random.uniform(jax.random.PRNGKey(10), (256,)) + 0.5
+    c3 = jax.random.uniform(jax.random.PRNGKey(11), (128,)) + 0.5
+    b4 = _rand(12, (50,))
+    y = encoder_fused.seg_head_fused(pf, g, w1, s1, c1, w2, s2, c2,
+                                     w3, s3, c3, w4, b4)
+    concat = jnp.concatenate(
+        [pf, jnp.broadcast_to(g[:, None, :], (B, N, 1024))], -1)
+    h = jnp.maximum((concat @ w1) * c1 + s1, 0)
+    h = jnp.maximum((h @ w2) * c2 + s2, 0)
+    h = jnp.maximum((h @ w3) * c3 + s3, 0)
+    ref = jax.nn.log_softmax(h @ w4 + b4, axis=-1)
+    _close(y, ref)
+
+
+# ---------------------------------------------------------------------------
+# Full-model parity: Pallas path vs jnp path
+# ---------------------------------------------------------------------------
+
+def test_classifier_eval_pallas_parity(rng_key):
+    params, state = init_classifier(rng_key, 40, feature_transform=True)
+    x = _rand(1, (B, N, 3))
+    ref, _, _, _ = apply_classifier(params, state, x, train=False)
+    with use_pallas():
+        y, _, _, _ = apply_classifier(params, state, x, train=False)
+    _close(y, ref, rtol=1e-4)  # log-prob scale
+
+
+def test_segmenter_eval_pallas_parity(rng_key):
+    params, state = init_segmenter(rng_key, 50, feature_transform=True)
+    x = _rand(1, (B, N, 3))
+    ref, _, _, _ = apply_segmenter(params, state, x, train=False)
+    with use_pallas():
+        y, _, _, _ = apply_segmenter(params, state, x, train=False)
+    _close(y, ref, rtol=1e-4)
+
+
+def test_discriminator_fused_parity(rng_key):
+    params = init_discriminator(rng_key, 50)
+    probs = jax.nn.softmax(_rand(1, (B, N, 50)), -1)
+    ref = apply_discriminator(params, probs)
+    _close(apply_discriminator_fused(params, probs), ref)
+
+
+def test_train_step_with_pallas_matmuls(rng_key):
+    """Training forward+backward through the custom-VJP Pallas matmuls."""
+    from adversarial_learning_on_pointclouds_tpu import losses
+
+    params, state = init_segmenter(rng_key, 50, feature_transform=False)
+    x = _rand(1, (B, N, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (B, N), 0, 50)
+
+    def loss(p, use):
+        def inner():
+            logp, _, _, _ = apply_segmenter(p, state, x, train=True)
+            return losses.nll_loss(logp, labels)
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for a, r in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        _close(a, r, rtol=1e-4)
+
+
+def test_augment_fused_structural():
+    """CPU/interpreter: shapes, determinism, finiteness. (The TPU
+    interpreter stubs the on-core PRNG to zeros, so distributional
+    checks — rotation norm preservation, jitter bounds — run on real TPU
+    via scripts/tpu_kernel_check.py.)"""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        augment_fused as af,
+    )
+    x = _rand(1, (4, 64, 3))
+    y = af.augment_fused(jnp.int32(7), x, rotate=True, jitter=True,
+                         dropout=True)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    y2 = af.augment_fused(jnp.int32(7), x, rotate=True, jitter=True,
+                          dropout=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
