@@ -48,6 +48,35 @@ CATEGORY_PART_RANGES = np.array(
     dtype=np.int32)
 
 
+class _LazyPts:
+    """List-like lazy view over per-shape .pts files (``__getitem__`` API
+    compat with the eager h5 path)."""
+
+    def __init__(self, paths):
+        self._paths = paths
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __getitem__(self, i):
+        return np.loadtxt(self._paths[i], dtype=np.float32).reshape(-1, 3)
+
+
+class _LazySeg:
+    """Lazy per-shape .seg labels, mapped to global part ids."""
+
+    def __init__(self, paths, categories):
+        self._paths = paths
+        self._categories = categories
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __getitem__(self, i):
+        seg = np.loadtxt(self._paths[i], dtype=np.int32).reshape(-1)
+        return CATEGORY_PART_RANGES[self._categories[i], 0] + seg - 1
+
+
 class ShapeNetPart:
     """Host-side reader.
 
@@ -78,8 +107,12 @@ class ShapeNetPart:
             keep = self.category == cat_id
             self.category = self.category[keep]
             if self._ragged:
-                self.points = [p for p, k in zip(self.points, keep) if k]
-                self.part_labels = [p for p, k in zip(self.part_labels, keep) if k]
+                self._pts_paths = [p for p, k in zip(self._pts_paths, keep)
+                                   if k]
+                self._seg_paths = [p for p, k in zip(self._seg_paths, keep)
+                                   if k]
+                self.points = _LazyPts(self._pts_paths)
+                self.part_labels = _LazySeg(self._seg_paths, self.category)
             else:
                 self.points = self.points[keep]
                 self.part_labels = self.part_labels[keep]
@@ -102,24 +135,22 @@ class ShapeNetPart:
                 f"no ShapeNet-part h5 shards or pts layout under {root!r}")
         with open(split_file) as f:
             entries = json.load(f)
-        pts_list, seg_list, cats = [], [], []
+        pts_paths, seg_paths, cats = [], [], []
         for entry in entries:
             # entry like "shape_data/<synset>/<token>"
             _, synset, token = entry.split("/")
-            pts = np.loadtxt(
-                os.path.join(root, synset, "points", token + ".pts"),
-                dtype=np.float32).reshape(-1, 3)
-            seg = np.loadtxt(
-                os.path.join(root, synset, "points_label", token + ".seg"),
-                dtype=np.int32).reshape(-1)
-            cat = synset_to_cat.get(synset, 0)
-            # .seg files are 1-based within the category; map to global ids.
-            seg = CATEGORY_PART_RANGES[cat, 0] + seg - 1
-            pts_list.append(pts)
-            seg_list.append(seg)
-            cats.append(cat)
-        self.points = pts_list
-        self.part_labels = seg_list
+            pts_paths.append(
+                os.path.join(root, synset, "points", token + ".pts"))
+            seg_paths.append(
+                os.path.join(root, synset, "points_label", token + ".seg"))
+            cats.append(synset_to_cat.get(synset, 0))
+        # Parsing + resampling is deferred to as_arrays(), where the
+        # native C++ thread-pool loader does it in one pass
+        # (data/native_loader.py); __getitem__ stays lazy per-shape.
+        self._pts_paths = pts_paths
+        self._seg_paths = seg_paths
+        self.points = _LazyPts(pts_paths)
+        self.part_labels = _LazySeg(seg_paths, cats)
         self.category = np.asarray(cats, dtype=np.int32)
         self._ragged = True
 
@@ -132,8 +163,21 @@ class ShapeNetPart:
     def as_arrays(self, num_points: int, seed: int = 0,
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Rectangularize to fixed N (host-side resample-with-replacement,
-        matching the reference's ``np.random.choice`` in ``__getitem__``)."""
-        if not self._ragged and self.points.shape[1] == num_points:
+        matching the reference's ``np.random.choice`` in ``__getitem__``).
+
+        The pts-file layout goes through the native C++ thread-pool loader
+        (``data/native_loader.py``) — parse + resample in one pass."""
+        if self._ragged:
+            from adversarial_learning_on_pointclouds_tpu.data.native_loader \
+                import load_pts_shapes
+            # .seg labels are 1-based within the category; global id =
+            # category start + seg - 1.
+            offsets = [int(CATEGORY_PART_RANGES[c, 0]) - 1
+                       for c in self.category]
+            pts, seg = load_pts_shapes(self._pts_paths, self._seg_paths,
+                                       offsets, num_points, seed)
+            return pts, seg, self.category
+        if self.points.shape[1] == num_points:
             return self.points, self.part_labels, self.category
         rng = np.random.default_rng(seed)
         pts = np.empty((len(self), num_points, 3), np.float32)
@@ -167,11 +211,39 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
         q = np.clip(((pts[i, :, axis] + 1.0) / 2.0 * count).astype(np.int32),
                     0, count - 1)
         pids[i] = start + q
-    for split, sl in (("train", slice(0, int(0.75 * num_shapes))),
-                      ("val", slice(int(0.75 * num_shapes), int(0.875 * num_shapes))),
-                      ("test", slice(int(0.875 * num_shapes), num_shapes))):
-        with h5py.File(os.path.join(root, f"ply_data_{split}0.h5"), "w") as f:
-            f.create_dataset("data", data=pts[sl])
-            f.create_dataset("label", data=cats[sl].reshape(-1, 1))
-            f.create_dataset("pid", data=pids[sl])
+    splits = (("train", slice(0, int(0.75 * num_shapes))),
+              ("val", slice(int(0.75 * num_shapes), int(0.875 * num_shapes))),
+              ("test", slice(int(0.875 * num_shapes), num_shapes)))
+    if layout == "h5":
+        for split, sl in splits:
+            with h5py.File(os.path.join(root, f"ply_data_{split}0.h5"),
+                           "w") as f:
+                f.create_dataset("data", data=pts[sl])
+                f.create_dataset("label", data=cats[sl].reshape(-1, 1))
+                f.create_dataset("pid", data=pids[sl])
+        return root
+    # pts layout: per-shape text files + JSON split lists + synset map.
+    synsets = [f"{10000000 + i:08d}" for i in range(NUM_CATEGORIES)]
+    with open(os.path.join(root, "synsetoffset2category.txt"), "w") as f:
+        for name, synset in zip(CATEGORY_NAMES, synsets):
+            f.write(f"{name}\t{synset}\n")
+    os.makedirs(os.path.join(root, "train_test_split"), exist_ok=True)
+    for split, sl in splits:
+        entries = []
+        for i in range(sl.start if sl.start else 0, sl.stop):
+            synset = synsets[cats[i]]
+            token = f"shape{i:04d}"
+            pdir = os.path.join(root, synset, "points")
+            ldir = os.path.join(root, synset, "points_label")
+            os.makedirs(pdir, exist_ok=True)
+            os.makedirs(ldir, exist_ok=True)
+            np.savetxt(os.path.join(pdir, token + ".pts"), pts[i],
+                       fmt="%.6f")
+            # .seg files are 1-based within the category.
+            local = pids[i] - CATEGORY_PART_RANGES[cats[i], 0] + 1
+            np.savetxt(os.path.join(ldir, token + ".seg"), local, fmt="%d")
+            entries.append(f"shape_data/{synset}/{token}")
+        with open(os.path.join(root, "train_test_split",
+                               f"shuffled_{split}_file_list.json"), "w") as f:
+            json.dump(entries, f)
     return root

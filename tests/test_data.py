@@ -95,3 +95,46 @@ def test_batch_iterator_shuffle_determinism_and_prefetch():
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
     # Every element appears exactly once.
     np.testing.assert_array_equal(np.sort(np.concatenate(a), axis=0), x)
+
+
+def test_shapenet_pts_layout_native_loader(tmp_path):
+    """The per-shape .pts/.seg layout through the native C++ loader:
+    schema, category-range correctness, determinism, h5-parity of label
+    semantics."""
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        make_synthetic_shapenet,
+    )
+    root = make_synthetic_shapenet(str(tmp_path / "pts"), num_shapes=24,
+                                   num_points=200, layout="pts")
+    ds = ShapeNetPart(root, "train")
+    assert len(ds) == 18
+    pts, seg, cat = ds.as_arrays(num_points=96, seed=3)
+    assert pts.shape == (18, 96, 3) and seg.shape == (18, 96)
+    for i in range(len(ds)):
+        start, count = CATEGORY_PART_RANGES[cat[i]]
+        assert seg[i].min() >= start and seg[i].max() < start + count
+    # determinism
+    pts2, seg2, _ = ds.as_arrays(num_points=96, seed=3)
+    np.testing.assert_array_equal(pts, pts2)
+    np.testing.assert_array_equal(seg, seg2)
+    # lazy __getitem__ API
+    p0, s0, c0 = ds[0]
+    assert p0.ndim == 2 and p0.shape[1] == 3
+    assert len(s0) == len(p0)
+    start, count = CATEGORY_PART_RANGES[c0]
+    assert s0.min() >= start and s0.max() < start + count
+
+
+def test_shapenet_pts_class_choice(tmp_path):
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        CATEGORY_NAMES, make_synthetic_shapenet,
+    )
+    root = make_synthetic_shapenet(str(tmp_path / "pts2"), num_shapes=32,
+                                   num_points=128, layout="pts")
+    full = ShapeNetPart(root, "train")
+    pick = CATEGORY_NAMES[int(full.category[0])]
+    sub = ShapeNetPart(root, "train", class_choice=pick)
+    assert 1 <= len(sub) <= len(full)
+    pts, seg, cat = sub.as_arrays(64)
+    assert pts.shape[0] == len(sub)
+    assert all(CATEGORY_NAMES[c] == pick for c in cat)
