@@ -1,0 +1,79 @@
+"""End-to-end runner smoke tests: the full epoch loops (data -> sharded
+batches -> jitted steps -> eval -> checkpoint -> logs) on tiny configs."""
+
+import os
+
+import numpy as np
+
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    AdversarialConfig, AdvPerturbConfig, ClassifyConfig, SegmentConfig,
+)
+from adversarial_learning_on_pointclouds_tpu.train import runner
+
+
+def test_run_classification(modelnet_root, tmp_path):
+    cfg = ClassifyConfig(batch_size=8, num_points=64, epochs=2,
+                         out_dir=str(tmp_path / "cls"), augment=True,
+                         dataset=modelnet_root, use_pallas=False, quiet=True)
+    result = runner.run_classification(cfg)
+    assert 0.0 <= result["best_accuracy"] <= 1.0
+    assert os.path.isdir(os.path.join(cfg.out_dir, "1"))
+    csv = os.path.join(cfg.out_dir, "cls_metrics.csv")
+    assert os.path.getsize(csv) > 0
+    with open(csv) as f:
+        header = f.readline()
+    assert "points_per_sec_per_chip" in header
+
+
+def test_run_segmentation(shapenet_root, tmp_path):
+    cfg = SegmentConfig(batch_size=8, num_points=64, epochs=1,
+                        out_dir=str(tmp_path / "seg"),
+                        dataset=shapenet_root, use_pallas=False, quiet=True,
+                        feature_transform=False)
+    result = runner.run_segmentation(cfg)
+    assert 0.0 <= result["best_miou"] <= 1.0
+    assert isinstance(result["category_miou"], dict)
+
+
+def test_run_adversarial(shapenet_root, tmp_path):
+    cfg = AdversarialConfig(batch_size=8, num_points=64, epochs=1,
+                            out_dir=str(tmp_path / "adv"),
+                            dataset=shapenet_root, use_pallas=False,
+                            quiet=True, feature_transform=False)
+    result = runner.run_adversarial(cfg)
+    assert 0.0 <= result["best_miou"] <= 1.0
+    state = result["state"]
+    assert int(state.step) > 0
+
+
+def test_run_adv_perturb(modelnet_root, tmp_path):
+    cfg = AdvPerturbConfig(batch_size=8, num_points=64, epochs=1,
+                           out_dir=str(tmp_path / "advp"),
+                           dataset=modelnet_root, use_pallas=False,
+                           quiet=True, epsilon=0.03)
+    result = runner.run_adv_perturb(cfg)
+    assert 0.0 <= result["best_accuracy"] <= 1.0
+
+
+def test_resume_from_checkpoint(modelnet_root, tmp_path):
+    out = str(tmp_path / "cls_resume")
+    cfg = ClassifyConfig(batch_size=8, num_points=64, epochs=1,
+                         out_dir=out, dataset=modelnet_root,
+                         use_pallas=False, quiet=True)
+    r1 = runner.run_classification(cfg)
+    p1 = np.asarray(
+        r1["state"].params["fc3"]["w"] if "fc3" in r1["state"].params
+        else r1["state"].params["fc1"]["w"])
+    cfg2 = ClassifyConfig(batch_size=8, num_points=64, epochs=1,
+                          out_dir=str(tmp_path / "cls_resume2"),
+                          dataset=modelnet_root, use_pallas=False,
+                          quiet=True, resume=out)
+    r2 = runner.run_classification(cfg2)
+    # Warm start happened: epoch-0 eval of run 2 should differ from random
+    # init (we just check it ran and produced different params than run 1,
+    # i.e. continued training).
+    p2 = np.asarray(
+        r2["state"].params["fc3"]["w"] if "fc3" in r2["state"].params
+        else r2["state"].params["fc1"]["w"])
+    assert p1.shape == p2.shape
+    assert not np.array_equal(p1, p2)
