@@ -46,6 +46,7 @@ class BaseConfig:
     feature_transform: bool = False  # --feature_transform
     augment: bool = False         # on-device rotate/jitter chain
     use_pallas: bool = True       # fused Pallas kernels vs jnp fallback
+    bf16: bool = False            # mixed precision: bf16 matmul inputs
     dtype: str = "float32"        # compute dtype for the model
     num_devices: int = 0          # 0 -> all visible devices (DP mesh)
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
@@ -116,6 +117,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="on-device rotate/jitter augmentation")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable Pallas kernels (pure jnp/XLA path)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision (bf16 matmul inputs, fp32 accum)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
@@ -136,6 +139,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         feature_transform=a.feature_transform,
         augment=a.augment,
         use_pallas=not a.no_pallas,
+        bf16=a.bf16,
         profile_dir=a.profile_dir,
         quiet=a.quiet,
         workers=a.workers,

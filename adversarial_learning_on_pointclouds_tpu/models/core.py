@@ -43,12 +43,45 @@ BN_MOMENTUM = 0.1
 # The default TPU matmul precision is bfloat16; the parity contract
 # (BASELINE.json:5 "bit-comparable logits on fixed seeds") needs true fp32
 # accumulation, so every matmul in the framework passes this explicitly.
-# Throughput configs can train in bf16 by casting inputs instead.
+# Throughput configs opt into bf16 inputs via ``mixed_precision()``.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+_mp_state = __import__("threading").local()
+
+
+def compute_dtype():
+    """Matmul input dtype under the mixed-precision scope (None = fp32)."""
+    return getattr(_mp_state, "dtype", None)
+
+
+class mixed_precision:
+    """Trace-time scope: run matmul inputs in bf16 (fp32 accumulation).
+
+    Classic TPU mixed precision — params, BN statistics, reductions and
+    activations stay fp32; only the MXU operands are cast. Wrap the jit
+    tracing of the step (like ``ops.use_pallas``); expect ~bf16-level
+    (1e-2 relative) deviation from the fp32 path at ~2x MXU throughput.
+    """
+
+    def __init__(self, dtype=jnp.bfloat16, enabled: bool = True):
+        self._dtype = jnp.dtype(dtype) if enabled else None
+
+    def __enter__(self):
+        self._prev = compute_dtype()
+        _mp_state.dtype = self._dtype
+        return self
+
+    def __exit__(self, *exc):
+        _mp_state.dtype = self._prev
+        return False
 
 
 def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Precision-pinned matmul used throughout the model layer."""
+    """Precision-pinned (or mixed-precision) matmul for the model layer."""
+    cd = compute_dtype()
+    if cd is not None and a.dtype == jnp.float32:
+        return jnp.matmul(a.astype(cd), b.astype(cd),
+                          preferred_element_type=jnp.float32)
     return jnp.matmul(a, b, precision=MATMUL_PRECISION,
                       preferred_element_type=a.dtype)
 

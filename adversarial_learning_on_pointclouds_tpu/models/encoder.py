@@ -52,7 +52,7 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
     avoid materializing the 1088-d concat."""
     new_state = {}
     trans, new_state["stn"] = apply_tnet(params["stn"], state["stn"], x, train)
-    x = core.matmul(x, trans)
+    x = ops.batched_transform(x, trans)
     x, new_state["bn1"] = ops.linear_bn_act(
         params["conv1"], params["bn1"], state["bn1"], x, train, "relu")
 
@@ -60,7 +60,7 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
     if "fstn" in params:  # feature_transform was enabled at init
         trans_feat, new_state["fstn"] = apply_tnet(
             params["fstn"], state["fstn"], x, train)
-        x = core.matmul(x, trans_feat)
+        x = ops.batched_transform(x, trans_feat)
 
     point_feat = x  # [B, N, 64]
     if not train and ops.pallas_enabled():

@@ -14,3 +14,6 @@ from adversarial_learning_on_pointclouds_tpu.ops.dispatch import (  # noqa: F401
     pallas_enabled,
     use_pallas,
 )
+from adversarial_learning_on_pointclouds_tpu.models.core import (  # noqa: F401
+    mixed_precision,
+)

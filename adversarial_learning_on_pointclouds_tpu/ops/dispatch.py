@@ -124,9 +124,25 @@ def max_points(x: jnp.ndarray) -> jnp.ndarray:
     """``max`` over the point axis: ``[B, N, C] -> [B, C]``.
 
     The reference's ``torch.max(x, 2)`` symmetric function
-    (``upstream:pointnet/model.py::PointNetfeat``). On the Pallas path this
-    is fused with the preceding MLP layer inside the encoder megakernel
-    (``ops/kernels/encoder_fused.py``); standalone it is a plain reduction
-    XLA already fuses well.
+    (``upstream:pointnet/model.py::PointNetfeat``). On the Pallas path the
+    standalone custom-VJP kernel is used; in eval forwards it is instead
+    fused with the preceding MLP layers inside the encoder megakernel
+    (``ops/kernels/encoder_fused.py``).
     """
+    if pallas_enabled() and x.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            maxpool_points,
+        )
+        return maxpool_points.maxpool_points(x)
     return jnp.max(x, axis=1)
+
+
+def batched_transform(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-cloud ``k x k`` transform: the reference's
+    ``torch.bmm(points, trans)`` (T-Net apply)."""
+    if pallas_enabled() and x.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            tnet_apply,
+        )
+        return tnet_apply.tnet_apply(x, t)
+    return core.matmul(x, t)

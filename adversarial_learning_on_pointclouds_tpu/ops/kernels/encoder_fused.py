@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
-    _apply_act, _interpret, _tile_n,
+    _apply_act, _interpret, _mxu_dot, _tile_n,
 )
 
 
@@ -45,7 +45,7 @@ def _stack_maxpool_kernel(acts, n_layers, x_ref, *refs):
     o_ref = refs[3 * n_layers]
     h = x_ref[0]
     for li in range(n_layers):
-        z = jnp.dot(h, w_refs[li][...], preferred_element_type=jnp.float32)
+        z = _mxu_dot(h, w_refs[li][...])
         z = z * c_refs[li][...] + s_refs[li][...]
         h = _apply_act(z, acts[li])
     tile_max = jnp.max(h, axis=0, keepdims=True)  # [1, c_out]
@@ -102,15 +102,14 @@ def _seg_head_kernel(x_ref, g_ref, w1a_ref, w1b_ref, s1_ref, c1_ref,
     pf = x_ref[0]                               # [TILE_N, 64]
     # Global-feature contribution: per-batch rank-1 row added to every
     # point's first-layer preactivation — replaces the [N, 1088] concat.
-    g_row = jnp.dot(g_ref[...], w1b_ref[...],
-                    preferred_element_type=jnp.float32)  # [1, 512]
-    z1 = jnp.dot(pf, w1a_ref[...], preferred_element_type=jnp.float32)
+    g_row = _mxu_dot(g_ref[...], w1b_ref[...])  # [1, 512]
+    z1 = _mxu_dot(pf, w1a_ref[...])
     h = jnp.maximum((z1 + g_row) * c1_ref[...] + s1_ref[...], 0)
-    z2 = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    z2 = _mxu_dot(h, w2_ref[...])
     h = jnp.maximum(z2 * c2_ref[...] + s2_ref[...], 0)
-    z3 = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
+    z3 = _mxu_dot(h, w3_ref[...])
     h = jnp.maximum(z3 * c3_ref[...] + s3_ref[...], 0)
-    z4 = jnp.dot(h, w4_ref[...], preferred_element_type=jnp.float32)
+    z4 = _mxu_dot(h, w4_ref[...])
     z4 = z4 + b4_ref[...]
     # Per-point log_softmax epilogue over the part classes.
     m = jnp.max(z4, axis=-1, keepdims=True)

@@ -42,6 +42,18 @@ def _tile_n(n: int, cap: int = 512) -> int:
     return n
 
 
+
+def _mxu_dot(a, b):
+    """MXU dot with fp32 accumulation; honors the mixed-precision scope
+    (trace-time constant) by casting operands to bf16."""
+    from adversarial_learning_on_pointclouds_tpu.models import core as _core
+
+    cd = _core.compute_dtype()
+    if cd is not None and a.dtype == jnp.float32:
+        a, b = a.astype(cd), b.astype(cd)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _apply_act(z: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
     if act is None:
         return z
@@ -57,7 +69,7 @@ def _apply_act(z: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mm_kernel(x_ref, w_ref, b_ref, o_ref):
-    z = jnp.dot(x_ref[0], w_ref[...], preferred_element_type=jnp.float32)
+    z = _mxu_dot(x_ref[0], w_ref[...])
     o_ref[...] = (z + b_ref[...]).astype(o_ref.dtype)[None]
 
 
@@ -152,7 +164,7 @@ pointwise_matmul.defvjp(_pm_fwd, _pm_bwd)
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(act, x_ref, w_ref, sh_ref, sc_ref, o_ref):
-    z = jnp.dot(x_ref[0], w_ref[...], preferred_element_type=jnp.float32)
+    z = _mxu_dot(x_ref[0], w_ref[...])
     z = z * sc_ref[...] + sh_ref[...]
     o_ref[...] = _apply_act(z, act).astype(o_ref.dtype)[None]
 
@@ -200,7 +212,7 @@ def _stack_kernel(acts, n_layers, x_ref, *refs):
     o_ref = refs[3 * n_layers]
     h = x_ref[0]
     for li in range(n_layers):
-        z = jnp.dot(h, w_refs[li][...], preferred_element_type=jnp.float32)
+        z = _mxu_dot(h, w_refs[li][...])
         z = z * c_refs[li][...] + s_refs[li][...]
         h = _apply_act(z, acts[li])
     o_ref[...] = h.astype(o_ref.dtype)[None]

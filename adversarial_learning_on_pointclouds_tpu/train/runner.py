@@ -28,7 +28,9 @@ from adversarial_learning_on_pointclouds_tpu.data import (
 from adversarial_learning_on_pointclouds_tpu.data.loader import (
     batch_iterator, num_batches,
 )
-from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+from adversarial_learning_on_pointclouds_tpu.ops import (
+    mixed_precision, use_pallas,
+)
 from adversarial_learning_on_pointclouds_tpu.parallel import (
     batch_sharding, make_mesh,
 )
@@ -103,7 +105,9 @@ def run_classification(cfg: ClassifyConfig,
     logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+    with use_pallas(cfg.use_pallas), \
+            mixed_precision(enabled=cfg.bf16), \
+            maybe_trace(cfg.profile_dir):
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
@@ -136,7 +140,9 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+    with use_pallas(cfg.use_pallas), \
+            mixed_precision(enabled=cfg.bf16), \
+            maybe_trace(cfg.profile_dir):
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, s_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
@@ -173,7 +179,9 @@ def run_adversarial(cfg: AdversarialConfig,
     pts_per_step = 2 * cfg.batch_size * cfg.num_points
     best = 0.0
     x_unl = x_tr[n_lab:] if len(x_tr) > n_lab + cfg.batch_size else x_tr
-    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+    with use_pallas(cfg.use_pallas), \
+            mixed_precision(enabled=cfg.bf16), \
+            maybe_trace(cfg.profile_dir):
         for epoch in range(epochs):
             lab_it = batch_iterator((x_tr[:n_lab], s_tr[:n_lab]),
                                     cfg.batch_size, seed=cfg.seed,
@@ -211,7 +219,9 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    with use_pallas(cfg.use_pallas), maybe_trace(cfg.profile_dir):
+    with use_pallas(cfg.use_pallas), \
+            mixed_precision(enabled=cfg.bf16), \
+            maybe_trace(cfg.profile_dir):
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,

@@ -28,6 +28,7 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -35,13 +36,15 @@ def main() -> None:
     import numpy as np
 
     from adversarial_learning_on_pointclouds_tpu.configs import AdversarialConfig
-    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    from adversarial_learning_on_pointclouds_tpu.ops import (
+        mixed_precision, use_pallas,
+    )
     from adversarial_learning_on_pointclouds_tpu.train import adversarial
 
     n_chips = len(jax.devices())
     cfg = AdversarialConfig(batch_size=args.batch, num_points=args.points,
                             feature_transform=True, augment=True,
-                            use_pallas=not args.no_pallas)
+                            use_pallas=not args.no_pallas, bf16=args.bf16)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
     rng = np.random.default_rng(0)
@@ -53,7 +56,8 @@ def main() -> None:
         rng.standard_normal((args.batch, args.points, 3)).astype(np.float32))
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    with use_pallas(cfg.use_pallas and on_tpu):
+    with use_pallas(cfg.use_pallas and on_tpu), \
+            mixed_precision(enabled=cfg.bf16):
         state = adversarial.create_state(cfg, 100)
         step = lambda s: adversarial.train_step(  # noqa: E731
             s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)

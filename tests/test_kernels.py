@@ -190,3 +190,60 @@ def test_augment_fused_structural():
     y2 = af.augment_fused(jnp.int32(7), x, rotate=True, jitter=True,
                           dropout=True)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_maxpool_points_kernel():
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        maxpool_points as mp,
+    )
+    x = _rand(0, (B, 256, 64))
+    _close(mp.maxpool_points(x), jnp.max(x, axis=1))
+    # vjp parity (distinct values, so argmax gradient is unambiguous)
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(mp.maxpool_points(x))))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(jnp.max(x, axis=1))))(x)
+    _close(g1, g2)
+
+
+def test_maxpool_points_duplicate_max_routes_once():
+    """With duplicated maxima, exactly one point gets the gradient."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        maxpool_points as mp,
+    )
+    x = jnp.zeros((1, 16, 8))  # all equal -> every point is the max
+    g = jax.grad(lambda x: jnp.sum(mp.maxpool_points(x)))(x)
+    np.testing.assert_allclose(np.asarray(g).sum(axis=1), np.ones((1, 8)))
+    assert np.asarray(g).max() == 1.0  # one winner, not split
+
+
+def test_tnet_apply_kernel():
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        tnet_apply as ta,
+    )
+    for k in (3, 64):
+        x = _rand(0, (B, 128, k))
+        t = _rand(1, (B, k, k)) * 0.1 + jnp.eye(k)
+        _close(ta.tnet_apply(x, t), jnp.einsum("bnk,bkj->bnj", x, t))
+        gx1, gt1 = jax.grad(
+            lambda x, t: jnp.sum(jnp.sin(ta.tnet_apply(x, t))),
+            argnums=(0, 1))(x, t)
+        gx2, gt2 = jax.grad(
+            lambda x, t: jnp.sum(jnp.sin(jnp.einsum("bnk,bkj->bnj", x, t))),
+            argnums=(0, 1))(x, t)
+        _close(gx1, gx2)
+        _close(gt1, gt2)
+
+
+def test_mixed_precision_scope():
+    """bf16 scope: results deviate from fp32 at ~bf16 epsilon, not more."""
+    from adversarial_learning_on_pointclouds_tpu.models import core
+
+    x = _rand(0, (B, 64, 3))
+    params, state = init_classifier(jax.random.PRNGKey(0), 10)
+    ref, _, _, _ = apply_classifier(params, state, x, train=False)
+    with core.mixed_precision():
+        mp, _, _, _ = apply_classifier(params, state, x, train=False)
+    err = float(jnp.max(jnp.abs(mp - ref)))
+    assert 0 < err < 0.5, err  # differs (bf16 really used) but sane
+    # Scope restores cleanly.
+    again, _, _, _ = apply_classifier(params, state, x, train=False)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(ref))
