@@ -36,6 +36,8 @@ class BaseConfig:
     epochs: int = 250             # --nepoch
     out_dir: str = "cls"          # --outf
     resume: Optional[str] = None  # --model (checkpoint to warm-start from)
+    resume_full: bool = False     # --resume_full (full-state resume, not
+                                  #   just params: optimizer, RNG, step)
     dataset: str = ""             # --dataset (data root; '' -> synthetic)
     seed: int = 0                 # --manualSeed
     lr: float = 1e-3              # Adam lr (pointnet.pytorch default)
@@ -119,6 +121,9 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="disable Pallas kernels (pure jnp/XLA path)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision (bf16 matmul inputs, fp32 accum)")
+    p.add_argument("--resume_full", action="store_true",
+                   help="restore FULL train state from --model (optimizer, "
+                        "RNG, step) instead of reference-style params-only")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
@@ -140,6 +145,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         augment=a.augment,
         use_pallas=not a.no_pallas,
         bf16=a.bf16,
+        resume_full=a.resume_full,
         profile_dir=a.profile_dir,
         quiet=a.quiet,
         workers=a.workers,

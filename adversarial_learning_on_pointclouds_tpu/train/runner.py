@@ -100,7 +100,8 @@ def run_classification(cfg: ClassifyConfig,
     tx = classify.make_tx(cfg, spe)
     state = classify.create_state(cfg, spe)
     if cfg.resume:
-        state = checkpoint.load_params_only(cfg.resume, state)
+        state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
+                 else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
     logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
@@ -135,7 +136,8 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     tx = segment.make_tx(cfg, spe)
     state = segment.create_state(cfg, spe)
     if cfg.resume:
-        state = checkpoint.load_params_only(cfg.resume, state)
+        state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
+                 else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
     logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
@@ -173,7 +175,8 @@ def run_adversarial(cfg: AdversarialConfig,
     g_tx, d_tx = adversarial.make_txs(cfg, spe)
     state = adversarial.create_state(cfg, spe)
     if cfg.resume:
-        state = checkpoint.load_params_only(cfg.resume, state)
+        state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
+                 else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
     logger = MetricLogger(cfg.out_dir, "adv", quiet=cfg.quiet)
     pts_per_step = 2 * cfg.batch_size * cfg.num_points
@@ -214,7 +217,8 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     tx = adv_perturb.make_tx(cfg, spe)
     state = adv_perturb.create_state(cfg, spe)
     if cfg.resume:
-        state = checkpoint.load_params_only(cfg.resume, state)
+        state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
+                 else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
     logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points

@@ -134,3 +134,26 @@ def test_adversarial_dp_full_step_runs_sharded(mesh):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_point_axis_sharding(mesh):
+    """SP analogue (SURVEY.md §5 long-context): shard the POINT axis.
+
+    The symmetric max-pool is associative, so a point-sharded encoder
+    needs only a final pmax — which XLA emits from the sharding
+    annotation alone. Global feature must match the replicated run.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adversarial_learning_on_pointclouds_tpu.models import (
+        apply_encoder, init_encoder,
+    )
+
+    params, state = init_encoder(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((2, 256, 3)).astype(
+        np.float32)
+    f = jax.jit(lambda p, s, x: apply_encoder(p, s, x, train=False)[0])
+    ref = f(params, state, jnp.asarray(x))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+    out = f(params, state, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
