@@ -22,22 +22,37 @@ _state = threading.local()
 
 
 def pallas_enabled() -> bool:
+    """Eval-path fusions (folded-BN kernels, trunk+maxpool megakernel,
+    streamed seg head, fused discriminator stack)."""
     return getattr(_state, "use_pallas", False)
 
 
-@contextlib.contextmanager
-def use_pallas(enabled: bool = True):
-    """Enable/disable the Pallas kernel path within the context.
+def pallas_train_enabled() -> bool:
+    """Training-path custom-VJP kernels (pointwise matmul, maxpool,
+    tnet-apply). OFF by default even under ``use_pallas``: measured on
+    v5e, XLA's fused matmul+BN+ReLU fwd/bwd beats the per-layer Pallas
+    kernels for training (1.8M vs 1.2M pts/s/chip fp32), while the
+    inference fusions beat XLA (3.7 vs 2.9M pts/s eval). The kernels stay
+    available (``use_pallas(training=True)``) and parity-tested."""
+    return getattr(_state, "use_pallas_train", False)
 
-    The flag is read at *trace* time, so it must wrap the ``jax.jit``
-    tracing of the train/eval step (re-jit to switch paths).
+
+@contextlib.contextmanager
+def use_pallas(enabled: bool = True, training: bool = False):
+    """Enable the Pallas kernel paths within the context.
+
+    ``enabled`` switches the inference fusions; ``training`` additionally
+    routes training-mode matmuls/pools through the custom-VJP kernels.
+    Flags are read at *trace* time, so the context must wrap the
+    ``jax.jit`` tracing of the step (re-jit to switch paths).
     """
-    prev = pallas_enabled()
+    prev = (pallas_enabled(), pallas_train_enabled())
     _state.use_pallas = enabled
+    _state.use_pallas_train = enabled and training
     try:
         yield
     finally:
-        _state.use_pallas = prev
+        _state.use_pallas, _state.use_pallas_train = prev
 
 
 def _act(x: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
@@ -110,7 +125,7 @@ def linear_act(dense_p, x: jnp.ndarray, act: Optional[str] = None,
 
 
 def _matmul(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    if pallas_enabled() and x.ndim == 3:
+    if pallas_train_enabled() and x.ndim == 3:
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import shared_mlp
         return shared_mlp.pointwise_matmul(x, w, b)
     return core.matmul(x, w) + b
@@ -129,7 +144,7 @@ def max_points(x: jnp.ndarray) -> jnp.ndarray:
     fused with the preceding MLP layers inside the encoder megakernel
     (``ops/kernels/encoder_fused.py``).
     """
-    if pallas_enabled() and x.ndim == 3:
+    if pallas_train_enabled() and x.ndim == 3:
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             maxpool_points,
         )
@@ -140,7 +155,7 @@ def max_points(x: jnp.ndarray) -> jnp.ndarray:
 def batched_transform(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Apply a per-cloud ``k x k`` transform: the reference's
     ``torch.bmm(points, trans)`` (T-Net apply)."""
-    if pallas_enabled() and x.ndim == 3:
+    if pallas_train_enabled() and x.ndim == 3:
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             tnet_apply,
         )

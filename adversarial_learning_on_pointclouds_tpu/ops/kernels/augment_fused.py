@@ -38,7 +38,13 @@ _TWO_PI = 6.283185307179586
 
 
 def _uniform_from_bits(bits):
-    """uint32 bits -> f32 uniform in [0, 1) (mantissa-fill trick)."""
+    """Random bits -> f32 uniform in [0, 1) (mantissa-fill trick).
+
+    ``prng_random_bits`` yields int32 on some backends; an arithmetic
+    ``>> 9`` would sign-extend into the exponent and produce NaNs, so the
+    bits are bitcast to uint32 first (measured on TPU).
+    """
+    bits = pltpu.bitcast(bits, jnp.uint32)
     f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
     return f - 1.0
 

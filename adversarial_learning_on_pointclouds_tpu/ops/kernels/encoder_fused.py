@@ -49,14 +49,17 @@ def _stack_maxpool_kernel(acts, n_layers, x_ref, *refs):
         z = z * c_refs[li][...] + s_refs[li][...]
         h = _apply_act(z, acts[li])
     tile_max = jnp.max(h, axis=0, keepdims=True)  # [1, c_out]
+    # o_ref block is (1, 1, c_out) — see maxpool_points on why pooled
+    # outputs carry a singleton middle axis.
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        o_ref[...] = tile_max.astype(o_ref.dtype)
+        o_ref[...] = tile_max.astype(o_ref.dtype)[None]
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        o_ref[...] = jnp.maximum(o_ref[...], tile_max.astype(o_ref.dtype))
+        o_ref[...] = jnp.maximum(o_ref[...],
+                                 tile_max.astype(o_ref.dtype)[None])
 
 
 def fused_stack_maxpool(x: jnp.ndarray,
@@ -84,12 +87,12 @@ def fused_stack_maxpool(x: jnp.ndarray,
         kernel,
         grid=(bsz, n // tn),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, c_out), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, c_out), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, c_out), x.dtype),
         interpret=_interpret(),
     )(x, *weights, *[s.reshape(1, -1) for s in shifts],
-      *[s.reshape(1, -1) for s in scales])
+      *[s.reshape(1, -1) for s in scales]).reshape(bsz, c_out)
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +105,7 @@ def _seg_head_kernel(x_ref, g_ref, w1a_ref, w1b_ref, s1_ref, c1_ref,
     pf = x_ref[0]                               # [TILE_N, 64]
     # Global-feature contribution: per-batch rank-1 row added to every
     # point's first-layer preactivation — replaces the [N, 1088] concat.
-    g_row = _mxu_dot(g_ref[...], w1b_ref[...])  # [1, 512]
+    g_row = _mxu_dot(g_ref[0], w1b_ref[...])    # [1, 512]
     z1 = _mxu_dot(pf, w1a_ref[...])
     h = jnp.maximum((z1 + g_row) * c1_ref[...] + s1_ref[...], 0)
     z2 = _mxu_dot(h, w2_ref[...])
@@ -134,10 +137,11 @@ def seg_head_fused(point_feat: jnp.ndarray, global_feat: jnp.ndarray,
     specs = [
         pl.BlockSpec((1, tn, c_pf), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, global_feat.shape[-1]), lambda i, j: (i, 0),
+        pl.BlockSpec((1, 1, global_feat.shape[-1]), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [point_feat, global_feat]
+    operands = [point_feat,
+                global_feat.reshape(bsz, 1, global_feat.shape[-1])]
     for arr, full in ((w1a, True), (w1b, True), (shift1, False),
                       (scale1, False), (w2, True), (shift2, False),
                       (scale2, False), (w3, True), (shift3, False),

@@ -27,15 +27,19 @@ from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
 
 
 def _fwd_kernel(x_ref, o_ref):
+    # o_ref block is (1, 1, C): Mosaic requires the last-two block dims to
+    # divide (8, 128) or equal the array dims, so pooled outputs carry a
+    # singleton middle axis (squeezed by the caller).
     tile_max = jnp.max(x_ref[0], axis=0, keepdims=True)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        o_ref[...] = tile_max.astype(o_ref.dtype)
+        o_ref[...] = tile_max.astype(o_ref.dtype)[None]
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        o_ref[...] = jnp.maximum(o_ref[...], tile_max.astype(o_ref.dtype))
+        o_ref[...] = jnp.maximum(o_ref[...],
+                                 tile_max.astype(o_ref.dtype)[None])
 
 
 def _bwd_kernel(x_ref, y_ref, g_ref, o_ref, seen_ref):
@@ -50,14 +54,20 @@ def _bwd_kernel(x_ref, y_ref, g_ref, o_ref, seen_ref):
         seen_ref[...] = jnp.zeros_like(seen_ref)
 
     x = x_ref[0]                                     # [TILE_N, C]
-    is_max = (x == y_ref[...]).astype(jnp.float32)   # [TILE_N, C]
-    # Cumulative count of maximal entries within the tile, offset by the
-    # count from earlier tiles; the gradient goes where the running count
-    # equals 1 (i.e. the first maximal point).
-    cum = jnp.cumsum(is_max, axis=0) + seen_ref[...]
-    take = (is_max > 0) & (cum == 1.0)
-    o_ref[...] = (take.astype(g_ref.dtype) * g_ref[...])[None]
-    seen_ref[...] = seen_ref[...] + jnp.sum(is_max, axis=0, keepdims=True)
+    tn = x.shape[0]
+    is_max = x == y_ref[0]                           # [TILE_N, C] bool
+    # First maximal row per channel (Mosaic has no cumsum lowering, so
+    # express "first occurrence" as a min over row indices instead):
+    # winner row = min{r : is_max[r]}; a channel whose max already
+    # appeared in an earlier tile (seen > 0) takes nothing here.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, x.shape[1]), 0)
+    first_row = jnp.min(jnp.where(is_max, row_ids, tn), axis=0,
+                        keepdims=True)               # [1, C]
+    fresh = seen_ref[...] == 0.0                     # [1, C]
+    take = is_max & (row_ids == first_row) & fresh
+    o_ref[...] = (take.astype(g_ref.dtype) * g_ref[0])[None]
+    seen_ref[...] = seen_ref[...] + jnp.max(
+        is_max.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def _fwd_call(x: jnp.ndarray) -> jnp.ndarray:
@@ -68,11 +78,11 @@ def _fwd_call(x: jnp.ndarray) -> jnp.ndarray:
         grid=(bsz, n // tn),
         in_specs=[pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, c), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, c), x.dtype),
         interpret=_interpret(),
-    )(x)
+    )(x).reshape(bsz, c)
 
 
 @jax.custom_vjp
@@ -96,9 +106,9 @@ def _mp_bwd(res, g):
         in_specs=[
             pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
@@ -106,7 +116,7 @@ def _mp_bwd(res, g):
         out_shape=jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
         interpret=_interpret(),
-    )(x, y, g)
+    )(x, y.reshape(bsz, 1, c), g.reshape(bsz, 1, c))
     return (dx,)
 
 

@@ -21,6 +21,7 @@ from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
 
 def _apply_kernel(x_ref, t_ref, o_ref):
     o_ref[...] = jnp.dot(x_ref[0], t_ref[0],
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32
                          ).astype(o_ref.dtype)[None]
 
@@ -51,6 +52,7 @@ def _dt_kernel(x_ref, g_ref, o_ref):
 
     o_ref[...] += jax.lax.dot_general(
         x_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)[None]
 
 

@@ -108,6 +108,32 @@ def train_step(state: state_lib.GANTrainState,
     ``x_l [B,N,3]`` labeled points, ``y_l [B,N]`` part labels,
     ``x_u [B,N,3]`` unlabeled points.
     """
+    return _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx"))
+def train_steps_scan(state: state_lib.GANTrainState,
+                     x_l: jnp.ndarray, y_l: jnp.ndarray, x_u: jnp.ndarray, *,
+                     cfg: AdversarialConfig, g_tx, d_tx,
+                     ) -> Tuple[state_lib.GANTrainState,
+                                Dict[str, jnp.ndarray]]:
+    """K alternating G/D updates in ONE compiled program via ``lax.scan``.
+
+    Inputs carry a leading K axis (``x_l [K,B,N,3]`` ...). Amortizes the
+    per-step host dispatch — significant on this platform, where each
+    program launch crosses the device tunnel. Returns per-step metrics
+    stacked along K.
+    """
+
+    def body(s, batch):
+        xl, yl, xu = batch
+        s, m = _train_step_impl(s, xl, yl, xu, cfg, g_tx, d_tx)
+        return s, m
+
+    return jax.lax.scan(body, state, (x_l, y_l, x_u))
+
+
+def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     rng, k_aug_l, k_aug_u = jax.random.split(state.rng, 3)
     if cfg.augment:
         x_l = augment.augment_batch(k_aug_l, x_l)

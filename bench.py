@@ -28,7 +28,14 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--pallas_train", action="store_true",
+                   help="route TRAINING matmuls/pools through the "
+                        "custom-VJP Pallas kernels (slower than XLA "
+                        "on v5e; for comparison)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--scan", type=int, default=0,
+                   help="fuse K steps per program launch via lax.scan "
+                        "(amortizes dispatch; 0 = one step per launch)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -56,11 +63,24 @@ def main() -> None:
         rng.standard_normal((args.batch, args.points, 3)).astype(np.float32))
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    with use_pallas(cfg.use_pallas and on_tpu), \
+    with use_pallas(cfg.use_pallas and on_tpu,
+                    training=args.pallas_train), \
             mixed_precision(enabled=cfg.bf16):
         state = adversarial.create_state(cfg, 100)
-        step = lambda s: adversarial.train_step(  # noqa: E731
-            s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+        if args.scan > 0:
+            import jax.numpy as jnp
+            k = args.scan
+            xlk = jnp.broadcast_to(x_l, (k, *x_l.shape))
+            ylk = jnp.broadcast_to(y_l, (k, *y_l.shape))
+            xuk = jnp.broadcast_to(x_u, (k, *x_u.shape))
+
+            def step(s):  # K fused steps per launch
+                s, ms = adversarial.train_steps_scan(
+                    s, xlk, ylk, xuk, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                return s, {kk: v[-1] for kk, v in ms.items()}
+        else:
+            step = lambda s: adversarial.train_step(  # noqa: E731
+                s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
 
         t0 = time.perf_counter()
         for _ in range(args.warmup):
@@ -76,8 +96,9 @@ def main() -> None:
         float(metrics["loss_g"])
         dt = (time.perf_counter() - t0) / args.steps
 
-    # Points processed per G+D step: the labeled + unlabeled clouds.
-    points_per_step = 2 * args.batch * args.points
+    # Points processed per launch: labeled + unlabeled clouds, x K when
+    # scanning multiple steps per program.
+    points_per_step = 2 * args.batch * args.points * max(args.scan, 1)
     pps_per_chip = points_per_step / dt / n_chips
 
     if args.verbose:

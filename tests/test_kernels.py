@@ -163,7 +163,7 @@ def test_train_step_with_pallas_matmuls(rng_key):
             logp, _, _, _ = apply_segmenter(p, state, x, train=True)
             return losses.nll_loss(logp, labels)
         if use:
-            with use_pallas():
+            with use_pallas(training=True):
                 return inner()
         return inner()
 
