@@ -64,9 +64,24 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
         for i in (1, 2, 3):
             new_state[f"bn{i}"] = state[f"bn{i}"]
         return logp, trans, trans_feat, new_state
-    h, trans, trans_feat, new_state["feat"] = apply_encoder(
-        params["feat"], state["feat"], x, train, global_feat=False)
-    for i in range(1, 4):
+    # Training path. The reference concatenates [point_feat | tiled
+    # global] into [B, N, 1088] (upstream:pointnet/model.py, SURVEY.md
+    # §3.2 "memory hot spot"); here the first head layer is computed as
+    # pf @ W1[:64] + (g @ W1[64:])[:, None, :] — algebraically identical,
+    # but the 1088-wide concat never exists in forward OR backward.
+    from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+        apply_encoder_parts,
+    )
+    pf, g, trans, trans_feat, new_state["feat"] = apply_encoder_parts(
+        params["feat"], state["feat"], x, train)
+    c_pf = pf.shape[-1]
+    w1 = params["conv1"]["w"]
+    z = (core.matmul(pf, w1[:c_pf]) +
+         core.matmul(g, w1[c_pf:])[:, None, :] + params["conv1"]["b"])
+    h, new_state["bn1"] = core.batch_norm(
+        params["bn1"], state["bn1"], z, train)
+    h = jnp.maximum(h, 0)
+    for i in range(2, 4):
         h, new_state[f"bn{i}"] = ops.linear_bn_act(
             params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
             train, "relu")

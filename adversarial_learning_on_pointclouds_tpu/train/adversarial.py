@@ -69,8 +69,18 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
     """Generator objective; returns aux needed for the D step."""
     # Two train-mode forwards, BN running stats chained in call order
     # (labeled first), matching the reference's sequential module calls.
-    logp_l, _, tf_l, bn1 = apply_segmenter(g_params, g_bn, x_l, train=True)
-    logp_u, _, tf_u, bn2 = apply_segmenter(g_params, bn1, x_u, train=True)
+    # Rematerialization knob: recompute the segmenter's big per-point
+    # intermediates in backward instead of saving them. Measured on v5e
+    # this LOWERS throughput (2.49M vs 3.11M pts/s bf16 — XLA's own
+    # scheduling already wins), so it stays off by default and exists as
+    # a memory-footprint knob for much larger batch/point counts.
+    def seg_train(p, s, x):
+        return apply_segmenter(p, s, x, train=True)
+
+    if cfg.remat:
+        seg_train = jax.checkpoint(seg_train)
+    logp_l, _, tf_l, bn1 = seg_train(g_params, g_bn, x_l)
+    logp_u, _, tf_u, bn2 = seg_train(g_params, bn1, x_u)
 
     probs_l = jnp.exp(logp_l)  # softmax(G(x)) — logp is log_softmax
     probs_u = jnp.exp(logp_u)

@@ -32,7 +32,10 @@ def main() -> None:
                    help="route TRAINING matmuls/pools through the "
                         "custom-VJP Pallas kernels (slower than XLA "
                         "on v5e; for comparison)")
-    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fp32", action="store_true",
+                   help="strict fp32 (HIGHEST) numerics — the torch-parity "
+                        "mode; default is standard TPU bf16 mixed precision")
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--scan", type=int, default=0,
                    help="fuse K steps per program launch via lax.scan "
                         "(amortizes dispatch; 0 = one step per launch)")
@@ -51,7 +54,8 @@ def main() -> None:
     n_chips = len(jax.devices())
     cfg = AdversarialConfig(batch_size=args.batch, num_points=args.points,
                             feature_transform=True, augment=True,
-                            use_pallas=not args.no_pallas, bf16=args.bf16)
+                            use_pallas=not args.no_pallas, bf16=not args.fp32,
+                            remat=args.remat)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
     rng = np.random.default_rng(0)
