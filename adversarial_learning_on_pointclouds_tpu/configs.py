@@ -94,6 +94,13 @@ class AdversarialConfig(SegmentConfig):
     beta1_d: float = 0.9
     beta2_d: float = 0.99
     semi_start: int = 0           # --semi_start (iteration to enable L_semi)
+    fused_forward: bool = False   # one combined G fwd / D pass over
+                                  #   [labeled; unlabeled]. Measured
+                                  #   SLOWER on v5e (3.09M vs 3.35M
+                                  #   pts/s — XLA already overlaps the
+                                  #   sequential forwards) and changes BN
+                                  #   stats to the combined batch; kept
+                                  #   as an option, default off.
     out_dir: str = "adv"
 
 
@@ -193,6 +200,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
     p.add_argument("--labeled_ratio", type=float, default=0.5)
     p.add_argument("--lr_D", type=float, default=1e-4)
     p.add_argument("--semi_start", type=int, default=0)
+    p.add_argument("--fused_forward", action="store_true",
+                   help="one combined G forward over [labeled; unlabeled] "
+                        "(BN stats over the combined batch; measured slower "
+                        "on v5e, see configs.py)")
     a = p.parse_args(argv)
     kw = _common_kwargs(a, 2048, "adv")
     kw.pop("feature_transform")
@@ -202,6 +213,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_adv=a.lambda_adv,
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
+        fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,
         semi_start=a.semi_start,

@@ -39,8 +39,17 @@ def apply_discriminator(params: core.Params, prob_map: jnp.ndarray,
                         ) -> jnp.ndarray:
     """``prob_map: [B, N, k]`` -> per-point real/fake logits ``[B, N, 1]``.
 
-    Differentiable path (used inside the G and D train steps).
+    Differentiable path (used inside the G and D train steps). Under
+    ``use_pallas`` the whole stack runs as ONE fused kernel with a
+    recompute-in-register custom VJP (``ops/kernels/disc_fused.py``) —
+    the narrow five-layer stack is bandwidth-bound under XLA (measured
+    2.8 ms vs ~0.6 ms bandwidth floor on v5e at batch 32x2048).
     """
+    if ops.pallas_enabled() and prob_map.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            disc_fused,
+        )
+        return disc_fused.apply(params, prob_map)
     h = prob_map
     for i in range(1, 5):
         h = ops.linear_act(params[f"conv{i}"], h, act="leaky_relu")

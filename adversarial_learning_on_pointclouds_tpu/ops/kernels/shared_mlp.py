@@ -58,6 +58,21 @@ def _mxu_dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _mxu_dot_t(a, b):
+    """Contraction over axis 0 of both operands (``a^T @ b``), honoring
+    the mixed-precision scope like ``_mxu_dot``."""
+    from adversarial_learning_on_pointclouds_tpu.models import core as _core
+
+    cd = _core.compute_dtype()
+    dn = (((0,), (0,)), ((), ()))
+    if cd is not None and a.dtype == jnp.float32:
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd), dn,
+                                   preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dn,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
 def _apply_act(z: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
     if act is None:
         return z

@@ -247,3 +247,27 @@ def test_mixed_precision_scope():
     # Scope restores cleanly.
     again, _, _, _ = apply_classifier(params, state, x, train=False)
     np.testing.assert_array_equal(np.asarray(again), np.asarray(ref))
+
+
+def test_disc_fused_custom_vjp_parity(rng_key):
+    """Fused discriminator fwd + recompute backward vs layerwise path."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import disc_fused
+
+    params = init_discriminator(rng_key, 50)
+    probs = jax.nn.softmax(_rand(1, (B, N, 50)), -1)
+    _close(disc_fused.apply(params, probs),
+           apply_discriminator(params, probs))
+
+    def loss(p, x, fused):
+        out = (disc_fused.apply(p, x) if fused
+               else apply_discriminator(p, x))
+        return jnp.sum(jnp.tanh(out))
+
+    gp1, gx1 = jax.grad(lambda p, x: loss(p, x, True),
+                        argnums=(0, 1))(params, probs)
+    gp2, gx2 = jax.grad(lambda p, x: loss(p, x, False),
+                        argnums=(0, 1))(params, probs)
+    for a, b in zip(jax.tree_util.tree_leaves(gp1),
+                    jax.tree_util.tree_leaves(gp2)):
+        _close(a, b, rtol=1e-4)
+    _close(gx1, gx2, rtol=1e-4)
