@@ -63,7 +63,23 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
         x = ops.batched_transform(x, trans_feat)
 
     point_feat = x  # [B, N, 64]
-    if not train and ops.pallas_enabled():
+    if train and ops.pallas_enabled():
+        # Fused TRAINING trunk: conv2+BN2+ReLU -> conv3+BN3 -> max-pool
+        # with in-kernel batch statistics; z3 [B,N,1024] never exists in
+        # forward or backward (ops/kernels/trunk_train.py).
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            trunk_train,
+        )
+        g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+            point_feat,
+            params["conv2"]["w"], params["conv2"]["b"],
+            params["bn2"]["scale"], params["bn2"]["bias"],
+            params["conv3"]["w"], params["conv3"]["b"],
+            params["bn3"]["scale"], params["bn3"]["bias"])
+        global_feature = g
+        new_state["bn2"] = _ema_stats(state["bn2"], mu2, v2, point_feat)
+        new_state["bn3"] = _ema_stats(state["bn3"], mu3, v3, point_feat)
+    elif not train and ops.pallas_enabled():
         # Inference: conv2 -> conv3 -> max-pool as one Pallas megakernel;
         # the [B, N, 1024] pre-pool tensor never reaches HBM.
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
@@ -104,3 +120,16 @@ def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
     tiled = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
     feat = jnp.concatenate([point_feat, tiled], axis=-1)  # [B, N, 1088]
     return feat, trans, trans_feat, new_state
+
+
+def _ema_stats(s, batch_mean, batch_var_biased, x):
+    """torch-style running-stat update from kernel batch statistics."""
+    m = x.shape[0] * x.shape[1]
+    unbiased = batch_var_biased * (m / max(m - 1, 1))
+    mom = core.BN_MOMENTUM
+    return {
+        "mean": (1.0 - mom) * s["mean"]
+                + mom * jax.lax.stop_gradient(batch_mean),
+        "var": (1.0 - mom) * s["var"]
+               + mom * jax.lax.stop_gradient(unbiased),
+    }

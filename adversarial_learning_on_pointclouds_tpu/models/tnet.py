@@ -44,7 +44,31 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
     """``x: [B, N, k]`` -> transform ``[B, k, k]`` (+ updated BN state)."""
     k = x.shape[-1]  # fc3 emits k*k; k == input channel count
     new_state = {}
-    if not train and ops.pallas_enabled():
+    if train and ops.pallas_enabled():
+        # conv1 layerwise, then the fused training trunk for conv2+conv3+
+        # pool. The reference applies ReLU before the pool; ReLU is
+        # monotone, so max(relu(y)) == relu(max(y)) — apply it to the
+        # pooled vector (gradient routing is identical: all-negative
+        # channels pool to 0 with zero grad either way).
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            trunk_train,
+        )
+        from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+            _ema_stats,
+        )
+        h1, new_state["bn1"] = ops.linear_bn_act(
+            params["conv1"], params["bn1"], state["bn1"], x,
+            train=True, act="relu")
+        g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+            h1,
+            params["conv2"]["w"], params["conv2"]["b"],
+            params["bn2"]["scale"], params["bn2"]["bias"],
+            params["conv3"]["w"], params["conv3"]["b"],
+            params["bn3"]["scale"], params["bn3"]["bias"])
+        h = jnp.maximum(g, 0)
+        new_state["bn2"] = _ema_stats(state["bn2"], mu2, v2, h1)
+        new_state["bn3"] = _ema_stats(state["bn3"], mu3, v3, h1)
+    elif not train and ops.pallas_enabled():
         # Inference: whole conv trunk + symmetric max-pool as ONE Pallas
         # kernel — [B, N, 1024] never hits HBM (encoder_fused megakernel).
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (

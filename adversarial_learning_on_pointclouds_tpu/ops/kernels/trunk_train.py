@@ -1,0 +1,377 @@
+"""Fused TRAINING trunk: conv2+BN2+ReLU -> conv3+BN3 -> max-pool.
+
+The training-mode encoder trunk is the step's HBM hot spot: XLA
+materializes ``z3 [B, N, 1024]`` (268 MB at batch 32x2048) for BN
+statistics, normalization, the pool, and again in backward. This kernel
+family never materializes z3 at all:
+
+* **F1**: ``z2 = x @ w2 + b2`` (kept — only 33 MB) + channel sum/sumsq
+  for BN2's batch statistics, one pass.
+* **F2**: per tile recomputes ``h2 = relu(bn2(z2))`` in-register,
+  computes ``z3`` tile-wise, accumulates BN3 sum/sumsq AND per-cloud
+  channel max/min + their indices. Because BN3 is a per-channel affine,
+  ``max_n bn3(z3) = s3>=0 ? s3*max_n z3 + t3 : s3*min_n z3 + t3`` — so
+  the pooled output and its winner index come from the z3 extrema alone.
+* **B1** (backward): the pooled gradient makes ``dy3`` one-hot over
+  points, so the standard BN backward
+  ``dz3 = s3*(dy - mean(dy) - zhat*mean(dy*zhat))`` has *channel-scalar*
+  reduction terms computable on the host side of the kernel
+  (``mean(dy*zhat)`` needs zhat only at the winners, recoverable from
+  the pooled output). B1 recomputes h2/z3 per tile, forms dz3
+  in-register (sparse winner term + dense zhat term), and emits
+  ``dyhat2 [B,N,128]``, ``dw3/db3`` and BN2's two reduction scalars.
+  The remaining BN2 backward is elementwise on 33 MB tensors — XLA.
+
+Custom VJP wires F1/F2/B1 together; the batch statistics are returned as
+auxiliary (stop-gradient) outputs for the running-stat EMA update.
+Parity: ``tests/test_kernels.py::test_trunk_train_*`` vs. the jnp
+composition.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
+    _interpret, _mxu_dot, _mxu_dot_t, _tile_n,
+)
+
+_NEG = -3.0e38  # min-init for running max (fp32 finite)
+_POS = 3.0e38
+
+
+# ---------------------------------------------------------------------------
+# F1: z2 + BN2 statistics
+# ---------------------------------------------------------------------------
+
+def _f1_kernel(x_ref, w_ref, b_ref, z_ref, sum_ref, ssq_ref):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        ssq_ref[...] = jnp.zeros_like(ssq_ref)
+
+    z = _mxu_dot(x_ref[0], w_ref[...]) + b_ref[...]
+    z_ref[...] = z.astype(z_ref.dtype)[None]
+    sum_ref[...] += jnp.sum(z, axis=0, keepdims=True)
+    ssq_ref[...] += jnp.sum(z * z, axis=0, keepdims=True)
+
+
+def _f1_call(x, w2, b2):
+    bsz, n, c_in = x.shape
+    c2 = w2.shape[1]
+    tn = _tile_n(n, cap=256)
+    z2, s, ss = pl.pallas_call(
+        _f1_kernel,
+        grid=(bsz, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, c2), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, w2, b2.reshape(1, c2))
+    return z2, s.reshape(c2), ss.reshape(c2)
+
+
+# ---------------------------------------------------------------------------
+# F2: h2 (in-register) -> z3 stats + per-cloud extrema and winner indices
+# ---------------------------------------------------------------------------
+
+def _f2_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref,
+               sum_ref, ssq_ref, mx_ref, mn_ref, imax_ref, imin_ref):
+    j = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        ssq_ref[...] = jnp.zeros_like(ssq_ref)
+
+    @pl.when(j == 0)
+    def _():
+        mx_ref[...] = jnp.full_like(mx_ref, _NEG)
+        mn_ref[...] = jnp.full_like(mn_ref, _POS)
+        imax_ref[...] = jnp.zeros_like(imax_ref)
+        imin_ref[...] = jnp.zeros_like(imin_ref)
+
+    h2 = jnp.maximum(z2_ref[0] * sc_ref[...] + sh_ref[...], 0.0)
+    z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]       # [TILE_N, 1024]
+    sum_ref[...] += jnp.sum(z3, axis=0, keepdims=True)
+    ssq_ref[...] += jnp.sum(z3 * z3, axis=0, keepdims=True)
+
+    tn, c3 = z3.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, c3), 0)
+    tile_max = jnp.max(z3, axis=0, keepdims=True)
+    tile_min = jnp.min(z3, axis=0, keepdims=True)
+    # First row attaining the extremum (torch/jnp argmax convention).
+    amax = jnp.min(jnp.where(z3 == tile_max, row_ids, tn), axis=0,
+                   keepdims=True) + j * tn
+    amin = jnp.min(jnp.where(z3 == tile_min, row_ids, tn), axis=0,
+                   keepdims=True) + j * tn
+
+    better_max = tile_max > mx_ref[0]
+    imax_ref[...] = jnp.where(better_max, amax, imax_ref[0])[None]
+    mx_ref[...] = jnp.where(better_max, tile_max, mx_ref[0])[None]
+    better_min = tile_min < mn_ref[0]
+    imin_ref[...] = jnp.where(better_min, amin, imin_ref[0])[None]
+    mn_ref[...] = jnp.where(better_min, tile_min, mn_ref[0])[None]
+
+
+def _f2_call(z2, scale2, shift2, w3, b3):
+    bsz, n, c2 = z2.shape
+    c3 = w3.shape[1]
+    tn = _tile_n(n, cap=256)
+    outs = pl.pallas_call(
+        _f2_kernel,
+        grid=(bsz, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, c3), jnp.float32),
+            jax.ShapeDtypeStruct((1, c3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c3), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1, c3), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(z2, scale2.reshape(1, c2), shift2.reshape(1, c2), w3,
+      b3.reshape(1, c3))
+    s3, ss3, mx, mn, imax, imin = outs
+    return (s3.reshape(c3), ss3.reshape(c3), mx.reshape(bsz, c3),
+            mn.reshape(bsz, c3), imax.reshape(bsz, c3),
+            imin.reshape(bsz, c3))
+
+
+# ---------------------------------------------------------------------------
+# B1: backward through conv3+BN3+pool, emitting dyhat2 + dw3/db3 + BN2 sums
+# ---------------------------------------------------------------------------
+
+def _b1_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref, mu3_ref, inv3_ref,
+               coef1_ref, coef2_ref, s3dg_ref, idx_ref, mu2_ref, inv2_ref,
+               dy2_ref, dw3_ref, db3_ref, t1_ref, t2_ref):
+    j = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+        t1_ref[...] = jnp.zeros_like(t1_ref)
+        t2_ref[...] = jnp.zeros_like(t2_ref)
+
+    z2 = z2_ref[0]
+    h2 = jnp.maximum(z2 * sc_ref[...] + sh_ref[...], 0.0)
+    z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]
+    zhat3 = (z3 - mu3_ref[...]) * inv3_ref[...]
+
+    tn, c3 = z3.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, c3), 0)
+    local_win = idx_ref[0] - j * tn                   # [1, c3]
+    sparse = jnp.where(row_ids == local_win, s3dg_ref[0], 0.0)
+    dz3 = sparse - coef1_ref[0] - zhat3 * coef2_ref[0]
+
+    dw3_ref[...] += _mxu_dot_t(h2, dz3).astype(dw3_ref.dtype)
+    db3_ref[...] += jnp.sum(dz3, axis=0, keepdims=True)
+
+    dh2 = _mxu_dot(dz3, w_ref[...].T)                 # [TILE_N, c2]
+    dy2 = dh2 * (h2 > 0).astype(dh2.dtype)            # relu' from h2
+    dy2_ref[...] = dy2.astype(dy2_ref.dtype)[None]
+    zhat2 = (z2 - mu2_ref[...]) * inv2_ref[...]
+    t1_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+    t2_ref[...] += jnp.sum(dy2 * zhat2, axis=0, keepdims=True)
+
+
+def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
+             idx, mu2, inv2):
+    bsz, n, c2 = z2.shape
+    c3 = w3.shape[1]
+    tn = _tile_n(n, cap=256)
+    row = lambda a: a.reshape(1, -1)  # noqa: E731
+    outs = pl.pallas_call(
+        _b1_kernel,
+        grid=(bsz, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct(w3.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, c3), jnp.float32),
+            jax.ShapeDtypeStruct((1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, c2), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(z2, row(scale2), row(shift2), w3, row(b3), row(mu3), row(inv3),
+      coef1.reshape(bsz, 1, c3), coef2.reshape(bsz, 1, c3),
+      s3dg.reshape(bsz, 1, c3), idx.reshape(bsz, 1, c3),
+      row(mu2), row(inv2))
+    dy2, dw3, db3, t1, t2 = outs
+    return dy2, dw3, db3.reshape(c3), t1.reshape(c2), t2.reshape(c2)
+
+
+# ---------------------------------------------------------------------------
+# Custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+def _primal(x, w2, b2, g2, be2, w3, b3, g3, be3):
+    bsz, n, _ = x.shape
+    m = bsz * n
+    z2, s2, ss2 = _f1_call(x, w2, b2)
+    mu2 = s2 / m
+    var2 = jnp.maximum(ss2 / m - mu2 * mu2, 0.0)
+    inv2 = jax.lax.rsqrt(var2 + BN_EPS)
+    sc2 = g2 * inv2
+    sh2 = be2 - mu2 * sc2
+
+    s3, ss3, mx, mn, imax, imin = _f2_call(z2, sc2, sh2, w3, b3)
+    mu3 = s3 / m
+    var3 = jnp.maximum(ss3 / m - mu3 * mu3, 0.0)
+    inv3 = jax.lax.rsqrt(var3 + BN_EPS)
+    s3c = g3 * inv3
+    t3 = be3 - mu3 * s3c
+
+    pos = s3c >= 0
+    g = jnp.where(pos, mx, mn) * s3c + t3             # [B, 1024]
+    idx = jnp.where(pos, imax, imin)
+    res = (x, z2, mu2, inv2, sc2, sh2, w2, w3, b3, mu3, inv3, g3, be3,
+           g, idx)
+    return (g, mu2, var2, mu3, var3), res
+
+
+def trunk2_train(x, w2, b2, g2, be2, w3, b3, g3, be3):
+    """Fused training trunk. Returns ``(pooled [B,c3], mu2, var2_biased,
+    mu3, var3_biased)`` — batch stats are auxiliary (no gradient)."""
+    return _trunk2(x, w2, b2, g2, be2, w3, b3, g3, be3)
+
+
+@jax.custom_vjp
+def _trunk2(x, w2, b2, g2, be2, w3, b3, g3, be3):
+    out, _ = _primal(x, w2, b2, g2, be2, w3, b3, g3, be3)
+    return out
+
+
+def _trunk2_fwd(x, w2, b2, g2, be2, w3, b3, g3, be3):
+    out, res = _primal(x, w2, b2, g2, be2, w3, b3, g3, be3)
+    return out, res
+
+
+def _trunk2_bwd(res, cts):
+    (x, z2, mu2, inv2, sc2, sh2, w2, w3, b3, mu3, inv3, g3, be3,
+     g, idx) = res
+    dg = cts[0]                                       # [B, c3]
+    bsz, n, _ = x.shape
+    m = bsz * n
+    s3c = g3 * inv3
+
+    # BN3 backward channel scalars (winner zhat comes from the pooled
+    # output: zhat_win = (g - be3) / g3 — measure-zero caveat g3 == 0).
+    safe_g3 = jnp.where(g3 == 0, 1.0, g3)
+    zhat_win = (g - be3) / safe_g3                    # [B, c3]
+    s1 = jnp.sum(dg, axis=0)                          # [c3]  = sum dy
+    s2 = jnp.sum(dg * zhat_win, axis=0)               # [c3]  = sum dy*zhat
+    coef1 = jnp.broadcast_to((s3c * s1 / m)[None], dg.shape)
+    coef2 = jnp.broadcast_to((s3c * s2 / m)[None], dg.shape)
+    s3dg = s3c[None, :] * dg                          # [B, c3]
+
+    dy2, dw3, db3, t1, t2 = _b1_call(
+        z2, sc2, sh2, w3, b3, mu3, inv3, coef1, coef2, s3dg, idx,
+        mu2, inv2)
+
+    # BN2 backward (elementwise on [B,N,128] + two matmuls — XLA).
+    sc2b = sc2                                        # g2 * inv2
+    zhat2 = (z2 - mu2) * inv2
+    dz2 = sc2b * (dy2 - t1 / m - zhat2 * (t2 / m))
+    dx = _mxu_dot(dz2.reshape(m, -1), w2.T).reshape(x.shape)
+    dw2 = _mxu_dot_t(x.reshape(m, -1), dz2.reshape(m, -1))
+    db2 = jnp.sum(dz2, axis=(0, 1))
+    dg2 = t2
+    dbe2 = t1
+    dg3 = s2
+    dbe3 = s1
+    return (dx.astype(x.dtype), dw2.astype(w2.dtype), db2, dg2, dbe2,
+            dw3.astype(w3.dtype), db3, dg3, dbe3)
+
+
+_trunk2.defvjp(_trunk2_fwd, _trunk2_bwd)

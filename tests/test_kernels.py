@@ -151,12 +151,15 @@ def test_discriminator_fused_parity(rng_key):
 
 
 def test_train_step_with_pallas_matmuls(rng_key):
-    """Training forward+backward through the custom-VJP Pallas matmuls."""
+    """Training forward+backward through the custom-VJP Pallas matmuls
+    (+ the fused training trunk). Batch 8 and loose-ish tolerance for the
+    same small-batch BN amplification documented on
+    test_train_forward_with_fused_trunk_matches_layerwise."""
     from adversarial_learning_on_pointclouds_tpu import losses
 
     params, state = init_segmenter(rng_key, 50, feature_transform=False)
-    x = _rand(1, (B, N, 3))
-    labels = jax.random.randint(jax.random.PRNGKey(2), (B, N), 0, 50)
+    x = _rand(1, (8, N, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8, N), 0, 50)
 
     def loss(p, use):
         def inner():
@@ -169,9 +172,11 @@ def test_train_step_with_pallas_matmuls(rng_key):
 
     g_ref = jax.grad(lambda p: loss(p, False))(params)
     g_pal = jax.grad(lambda p: loss(p, True))(params)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g_ref))
     for a, r in zip(jax.tree_util.tree_leaves(g_pal),
                     jax.tree_util.tree_leaves(g_ref)):
-        _close(a, r, rtol=1e-4)
+        assert float(jnp.max(jnp.abs(a - r))) <= 1e-2 * (1 + scale)
 
 
 def test_augment_fused_structural():
@@ -271,3 +276,97 @@ def test_disc_fused_custom_vjp_parity(rng_key):
                     jax.tree_util.tree_leaves(gp2)):
         _close(a, b, rtol=1e-4)
     _close(gx1, gx2, rtol=1e-4)
+
+
+def test_trunk_train_kernel_parity():
+    """Fused training trunk vs jnp composition: values, stats, all grads."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import trunk_train
+
+    rng = np.random.default_rng(0)
+    Bx, Nx, C2, C3 = 2, 128, 32, 64
+    x = jnp.asarray(rng.standard_normal((Bx, Nx, 16)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((16, C2)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal(C2).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(rng.uniform(0.5, 1.5, C2).astype(np.float32))
+    be2 = jnp.asarray(rng.standard_normal(C2).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.standard_normal((C2, C3)).astype(np.float32) * 0.2)
+    b3 = jnp.asarray(rng.standard_normal(C3).astype(np.float32) * 0.1)
+    # Include negative gammas: the pool must switch to the channel MIN.
+    g3 = jnp.asarray((rng.uniform(0.5, 1.5, C3) *
+                      np.where(rng.random(C3) < 0.3, -1, 1)).astype(np.float32))
+    be3 = jnp.asarray(rng.standard_normal(C3).astype(np.float32) * 0.1)
+    args = (x, w2, b2, g2, be2, w3, b3, g3, be3)
+
+    def ref(x, w2, b2, g2, be2, w3, b3, g3, be3):
+        z2 = x @ w2 + b2
+        mu2 = z2.mean(axis=(0, 1)); var2 = z2.var(axis=(0, 1))
+        h2 = jnp.maximum(
+            (z2 - mu2) * jax.lax.rsqrt(var2 + BN_EPS) * g2 + be2, 0)
+        z3 = h2 @ w3 + b3
+        mu3 = z3.mean(axis=(0, 1)); var3 = z3.var(axis=(0, 1))
+        y3 = (z3 - mu3) * jax.lax.rsqrt(var3 + BN_EPS) * g3 + be3
+        return jnp.max(y3, axis=1), mu2, var2, mu3, var3
+
+    out = trunk_train.trunk2_train(*args)
+    r = ref(*args)
+    for a, b in zip(out, r):
+        _close(a, b, rtol=1e-4)
+
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        trunk_train.trunk2_train(*a)[0])), argnums=tuple(range(9)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a)[0])),
+                  argnums=tuple(range(9)))(*args)
+    for a, b in zip(gf, gr):
+        _close(a, b, rtol=1e-4)
+
+
+def test_train_forward_with_fused_trunk_matches_layerwise(rng_key):
+    """Model-level: encoder/tnet train path under use_pallas() == jnp path
+    (forward values, BN running-stat updates, and parameter grads).
+
+    Tolerances are loose-ish by necessity: both paths are correct fp32
+    programs that differ by matmul reassociation, and the T-Net fc heads
+    put BatchNorm over the BATCH axis — at small batch the 1/std factor
+    amplifies tiny input differences substantially (measured 5e-2 at
+    batch 2, 3e-3 at batch 8). The exact-kernel parity is pinned by
+    test_trunk_train_kernel_parity; this test guards the model wiring
+    (stat updates, ReLU-after-pool identity, state routing)."""
+    from adversarial_learning_on_pointclouds_tpu import losses
+
+    params, state = init_segmenter(rng_key, 50, feature_transform=True)
+    x = _rand(1, (8, N, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8, N), 0, 50)
+
+    def run(use):
+        def inner():
+            logp, _, tf, ns = apply_segmenter(params, state, x, train=True)
+            return logp, ns
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    logp_ref, ns_ref = run(False)
+    logp_pal, ns_pal = run(True)
+    _close(logp_pal, logp_ref, rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(ns_pal),
+                    jax.tree_util.tree_leaves(ns_ref)):
+        _close(a, b, rtol=5e-3)
+
+    def loss(p, use):
+        def inner():
+            logp, _, _, _ = apply_segmenter(p, state, x, train=True)
+            return losses.nll_loss(logp, labels)
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) <= 2e-2 * (1 + scale)
