@@ -182,3 +182,89 @@ def apply(params, prob_map: jnp.ndarray) -> jnp.ndarray:
     weights = tuple(params[n]["w"] for n in names)
     biases = tuple(params[n]["b"] for n in names)
     return disc_forward(prob_map, weights, biases)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-D variant: backward w.r.t. the INPUT only (G-step usage).
+# ---------------------------------------------------------------------------
+
+def _bwd_dx_kernel(x_ref, g_ref, *refs):
+    """Like ``_bwd_kernel`` but only the dh chain — no dW/db accumulation.
+    Used when D is frozen (the generator step differentiates through D's
+    input only)."""
+    w = [refs[i] for i in range(_N_LAYERS)]
+    b = [refs[_N_LAYERS + i] for i in range(_N_LAYERS)]
+    dx_ref = refs[2 * _N_LAYERS]
+
+    hs = [x_ref[0]]
+    for i in range(_N_LAYERS - 1):
+        z = _mxu_dot(hs[-1], w[i][...]) + b[i][...]
+        hs.append(_leaky(z))
+    dh = g_ref[0].astype(jnp.float32)
+    for i in reversed(range(_N_LAYERS)):
+        dz = dh if i == _N_LAYERS - 1 else dh * _dleaky_from_h(hs[i + 1])
+        dh = _mxu_dot(dz, w[i][...].T)
+    dx_ref[...] = dh.astype(dx_ref.dtype)[None]
+
+
+def _bwd_dx_call(x, g, weights, biases):
+    bsz, n, c_in = x.shape
+    tn = _tile_n(n, cap=256)
+    in_specs = [
+        pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, g]
+    for wgt in weights:
+        in_specs.append(pl.BlockSpec(wgt.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wgt)
+    for bia in biases:
+        bb = bia.reshape(1, -1)
+        in_specs.append(pl.BlockSpec(bb.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bb)
+    return pl.pallas_call(
+        _bwd_dx_kernel,
+        grid=(bsz, n // tn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=_interpret(),
+    )(*operands)
+
+
+@jax.custom_vjp
+def disc_forward_frozen(x: jnp.ndarray, weights, biases) -> jnp.ndarray:
+    """Fused D forward whose backward flows ONLY into the input.
+
+    For the generator step, where D's parameters are frozen: the weight/
+    bias cotangents are returned as zeros (asserted unused by the
+    caller). Never use where D's own gradients are needed.
+    """
+    return _fwd_call(x, weights, biases)
+
+
+def _dff_fwd(x, weights, biases):
+    return _fwd_call(x, weights, biases), (x, weights, biases)
+
+
+def _dff_bwd(res, g):
+    x, weights, biases = res
+    dx = _bwd_dx_call(x, g, weights, biases)
+    zeros_w = tuple(jnp.zeros_like(w) for w in weights)
+    zeros_b = tuple(jnp.zeros_like(b) for b in biases)
+    return dx, zeros_w, zeros_b
+
+
+disc_forward_frozen.defvjp(_dff_fwd, _dff_bwd)
+
+
+def apply_frozen(params, prob_map: jnp.ndarray) -> jnp.ndarray:
+    names = [f"conv{i}" for i in range(1, 6)]
+    return disc_forward_frozen(prob_map,
+                               tuple(params[n]["w"] for n in names),
+                               tuple(params[n]["b"] for n in names))

@@ -64,6 +64,21 @@ def make_txs(cfg: AdversarialConfig, steps_per_epoch: int):
     return g_tx, d_tx
 
 
+
+def _d_frozen(d_params, probs):
+    """D forward inside the G step: D is frozen there, so the Pallas path
+    uses the dx-only backward variant (skips the wasted dW accumulation;
+    the zero weight-cotangents are never consumed — the G step
+    differentiates w.r.t. g_params only)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    if dispatch.pallas_enabled() and probs.ndim == 3:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            disc_fused,
+        )
+        return disc_fused.apply_frozen(d_params, probs)
+    return apply_discriminator(d_params, probs)
+
+
 def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
                cfg: AdversarialConfig, semi_on: jnp.ndarray):
     """Generator objective; returns aux needed for the D step."""
@@ -94,7 +109,7 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_l, logp_u = logp[:b], logp[b:]
         probs = jnp.exp(logp)  # softmax(G(x)) — logp is log_softmax
         probs_l, probs_u = probs[:b], probs[b:]
-        d_out = apply_discriminator(d_params, probs)
+        d_out = _d_frozen(d_params, probs)
         d_out_l, d_out_u = d_out[:b], d_out[b:]
         reg = (2.0 * losses.orthogonality_reg(tf_b)
                if tf_b is not None else 0.0)
@@ -103,8 +118,8 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_u, _, tf_u, bn2 = seg_train(g_params, bn1, x_u)
         probs_l = jnp.exp(logp_l)
         probs_u = jnp.exp(logp_u)
-        d_out_l = apply_discriminator(d_params, probs_l)
-        d_out_u = apply_discriminator(d_params, probs_u)
+        d_out_l = _d_frozen(d_params, probs_l)
+        d_out_u = _d_frozen(d_params, probs_u)
         reg = (losses.orthogonality_reg(tf_l)
                + losses.orthogonality_reg(tf_u))
 

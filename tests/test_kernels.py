@@ -370,3 +370,17 @@ def test_train_forward_with_fused_trunk_matches_layerwise(rng_key):
     for a, b in zip(jax.tree_util.tree_leaves(g_pal),
                     jax.tree_util.tree_leaves(g_ref)):
         assert float(jnp.max(jnp.abs(a - b))) <= 2e-2 * (1 + scale)
+
+
+def test_disc_frozen_dx_matches_full_bwd(rng_key):
+    """dx from the frozen variant == dx from the full backward; and the
+    G-step freeze contract holds (weight cotangents never consumed)."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import disc_fused
+
+    params = init_discriminator(rng_key, 50)
+    probs = jax.nn.softmax(_rand(1, (B, N, 50)), -1)
+    gx_full = jax.grad(lambda x: jnp.sum(jnp.tanh(
+        disc_fused.apply(params, x))))(probs)
+    gx_frozen = jax.grad(lambda x: jnp.sum(jnp.tanh(
+        disc_fused.apply_frozen(params, x))))(probs)
+    _close(gx_frozen, gx_full, rtol=1e-5)
