@@ -268,3 +268,39 @@ def apply_frozen(params, prob_map: jnp.ndarray) -> jnp.ndarray:
     return disc_forward_frozen(prob_map,
                                tuple(params[n]["w"] for n in names),
                                tuple(params[n]["b"] for n in names))
+
+
+# ---------------------------------------------------------------------------
+# Known-logits variant: skip the redundant fake-forward in the D step.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def disc_with_known_logits(x, logits, weights, biases):
+    """Returns ``logits`` (already computed by the G step on the SAME
+    inputs and the SAME pre-update D parameters) while installing the
+    full fused backward from ``x``. The D step thereby skips the
+    redundant fake forward; its backward recomputes activations from
+    ``x`` exactly like ``disc_forward``'s."""
+    del x, weights, biases
+    return logits
+
+
+def _dkl_fwd(x, logits, weights, biases):
+    return logits, (x, weights, biases)
+
+
+def _dkl_bwd(res, g):
+    x, weights, biases = res
+    dx, dws, dbs = _bwd_call(x, g, weights, biases)
+    return dx, jnp.zeros_like(g), tuple(dws), tuple(dbs)
+
+
+disc_with_known_logits.defvjp(_dkl_fwd, _dkl_bwd)
+
+
+def apply_with_known_logits(params, prob_map, logits):
+    names = [f"conv{i}" for i in range(1, 6)]
+    return disc_with_known_logits(
+        prob_map, logits,
+        tuple(params[n]["w"] for n in names),
+        tuple(params[n]["b"] for n in names))

@@ -62,6 +62,15 @@ def _f1_kernel(x_ref, w_ref, b_ref, z_ref, sum_ref, ssq_ref):
     ssq_ref[...] += jnp.sum(z * z, axis=0, keepdims=True)
 
 
+def _stash_dtype():
+    """z2 stash dtype: bf16 under the mixed-precision scope (halves the
+    stash traffic; F2/B1 both read the same stash, so forward/backward
+    recompute stays self-consistent), f32 otherwise."""
+    from adversarial_learning_on_pointclouds_tpu.models import core as _core
+
+    return jnp.bfloat16 if _core.compute_dtype() is not None else jnp.float32
+
+
 def _f1_call(x, w2, b2):
     bsz, n, c_in = x.shape
     c2 = w2.shape[1]
@@ -86,7 +95,7 @@ def _f1_call(x, w2, b2):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c2), _stash_dtype()),
             jax.ShapeDtypeStruct((1, c2), jnp.float32),
             jax.ShapeDtypeStruct((1, c2), jnp.float32),
         ),
@@ -115,7 +124,8 @@ def _f2_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref,
         imax_ref[...] = jnp.zeros_like(imax_ref)
         imin_ref[...] = jnp.zeros_like(imin_ref)
 
-    h2 = jnp.maximum(z2_ref[0] * sc_ref[...] + sh_ref[...], 0.0)
+    h2 = jnp.maximum(z2_ref[0].astype(jnp.float32) * sc_ref[...]
+                     + sh_ref[...], 0.0)
     z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]       # [TILE_N, 1024]
     sum_ref[...] += jnp.sum(z3, axis=0, keepdims=True)
     ssq_ref[...] += jnp.sum(z3 * z3, axis=0, keepdims=True)
@@ -204,7 +214,7 @@ def _b1_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref, mu3_ref, inv3_ref,
         t1_ref[...] = jnp.zeros_like(t1_ref)
         t2_ref[...] = jnp.zeros_like(t2_ref)
 
-    z2 = z2_ref[0]
+    z2 = z2_ref[0].astype(jnp.float32)
     h2 = jnp.maximum(z2 * sc_ref[...] + sh_ref[...], 0.0)
     z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]
     zhat3 = (z3 - mu3_ref[...]) * inv3_ref[...]
@@ -361,7 +371,7 @@ def _trunk2_bwd(res, cts):
 
     # BN2 backward (elementwise on [B,N,128] + two matmuls — XLA).
     sc2b = sc2                                        # g2 * inv2
-    zhat2 = (z2 - mu2) * inv2
+    zhat2 = (z2.astype(jnp.float32) - mu2) * inv2
     dz2 = sc2b * (dy2 - t1 / m - zhat2 * (t2 / m))
     dx = _mxu_dot(dz2.reshape(m, -1), w2.T).reshape(x.shape)
     dw2 = _mxu_dot_t(x.reshape(m, -1), dz2.reshape(m, -1))

@@ -130,21 +130,36 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
     l_semi = losses.semi_loss(logp_u, d_out_u, cfg.semi_threshold)
     total = l_ce + cfg.lambda_adv * l_adv + semi_on * cfg.lambda_semi * l_semi
     aux = dict(bn=bn2, probs_l=probs_l, probs_u=probs_u,
+               d_l=d_out_l, d_u=d_out_u,
                l_ce=l_ce, l_adv=l_adv, l_semi=l_semi, logp_l=logp_l)
     return total, aux
 
 
-def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int):
+def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int,
+               fake_logits=None):
     """Discriminator objective on detached G outputs + one-hot GT.
 
     Single D pass over [fake_l ; fake_u ; real] — the pointwise D has no
-    cross-example interaction, so batching the three maps is exact.
+    cross-example interaction, so batching the three maps is exact. On
+    the Pallas path the fake logits were already computed by the G step
+    on the same inputs and the same pre-update D params, so the fake
+    forward is skipped (``disc_with_known_logits``) and only its
+    backward (which recomputes activations from the inputs anyway) runs.
     """
     b = probs_l.shape[0]
     real = jax.nn.one_hot(y_l, num_parts, dtype=probs_l.dtype)
-    stacked = jnp.concatenate([probs_l, probs_u, real], axis=0)
-    d_all = apply_discriminator(d_params, stacked)
-    d_fake, d_real = d_all[:2 * b], d_all[2 * b:]
+    if fake_logits is not None:
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            disc_fused,
+        )
+        fake = jnp.concatenate([probs_l, probs_u], axis=0)
+        d_fake = disc_fused.apply_with_known_logits(
+            d_params, fake, fake_logits)
+        d_real = apply_discriminator(d_params, real)
+    else:
+        stacked = jnp.concatenate([probs_l, probs_u, real], axis=0)
+        d_all = apply_discriminator(d_params, stacked)
+        d_fake, d_real = d_all[:2 * b], d_all[2 * b:]
     return losses.d_loss(d_real, d_fake), (d_real, d_fake)
 
 
@@ -203,8 +218,16 @@ def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     # --- D step: G outputs detached (reference's ``.detach()``). ---
     probs_l = jax.lax.stop_gradient(aux["probs_l"])
     probs_u = jax.lax.stop_gradient(aux["probs_u"])
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    fake_logits = None
+    if dispatch.pallas_enabled():
+        # Pre-update D on the same detached inputs => identical logits;
+        # skip the redundant fake forward (see _d_loss_fn).
+        fake_logits = jax.lax.stop_gradient(
+            jnp.concatenate([aux["d_l"], aux["d_u"]], axis=0))
     (d_loss_v, _), d_grads = jax.value_and_grad(_d_loss_fn, has_aux=True)(
-        state.d_params, probs_l, probs_u, y_l, cfg.num_parts)
+        state.d_params, probs_l, probs_u, y_l, cfg.num_parts,
+        fake_logits)
     d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
                                        state.d_params)
     new_d_params = jax.tree_util.tree_map(

@@ -384,3 +384,25 @@ def test_disc_frozen_dx_matches_full_bwd(rng_key):
     gx_frozen = jax.grad(lambda x: jnp.sum(jnp.tanh(
         disc_fused.apply_frozen(params, x))))(probs)
     _close(gx_frozen, gx_full, rtol=1e-5)
+
+
+def test_d_step_known_logits_grads_match(rng_key):
+    """D-step gradient with the known-logits fast path == recompute path."""
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    params = init_discriminator(rng_key, 50)
+    probs_l = jax.nn.softmax(_rand(1, (B, N, 50)), -1)
+    probs_u = jax.nn.softmax(_rand(2, (B, N, 50)), -1)
+    y = jax.random.randint(jax.random.PRNGKey(3), (B, N), 0, 50)
+
+    g_ref = jax.grad(lambda p: adversarial._d_loss_fn(
+        p, probs_l, probs_u, y, 50)[0])(params)
+    with use_pallas():
+        fake_logits = jnp.concatenate(
+            [apply_discriminator(params, probs_l),
+             apply_discriminator(params, probs_u)], axis=0)
+        g_fast = jax.grad(lambda p: adversarial._d_loss_fn(
+            p, probs_l, probs_u, y, 50, fake_logits)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                    jax.tree_util.tree_leaves(g_ref)):
+        _close(a, b, rtol=1e-4)
