@@ -70,10 +70,29 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
     # pf @ W1[:64] + (g @ W1[64:])[:, None, :] — algebraically identical,
     # but the 1088-wide concat never exists in forward OR backward.
     from adversarial_learning_on_pointclouds_tpu.models.encoder import (
-        apply_encoder_parts,
+        _ema_stats, apply_encoder_parts,
     )
     pf, g, trans, trans_feat, new_state["feat"] = apply_encoder_parts(
         params["feat"], state["feat"], x, train)
+    if train and ops.pallas_enabled():
+        # Fully-fused training head (BN stats in-kernel, stash-only
+        # activations, fused log_softmax; ops/kernels/seg_head_train.py).
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            seg_head_train,
+        )
+        logp, mu1, v1, mu2, v2, mu3, v3 = seg_head_train.seg_head_train(
+            pf, g,
+            params["conv1"]["w"], params["conv1"]["b"],
+            params["bn1"]["scale"], params["bn1"]["bias"],
+            params["conv2"]["w"], params["conv2"]["b"],
+            params["bn2"]["scale"], params["bn2"]["bias"],
+            params["conv3"]["w"], params["conv3"]["b"],
+            params["bn3"]["scale"], params["bn3"]["bias"],
+            params["conv4"]["w"], params["conv4"]["b"])
+        new_state["bn1"] = _ema_stats(state["bn1"], mu1, v1, pf)
+        new_state["bn2"] = _ema_stats(state["bn2"], mu2, v2, pf)
+        new_state["bn3"] = _ema_stats(state["bn3"], mu3, v3, pf)
+        return logp, trans, trans_feat, new_state
     c_pf = pf.shape[-1]
     w1 = params["conv1"]["w"]
     z = (core.matmul(pf, w1[:c_pf]) +

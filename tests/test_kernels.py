@@ -406,3 +406,58 @@ def test_d_step_known_logits_grads_match(rng_key):
     for a, b in zip(jax.tree_util.tree_leaves(g_fast),
                     jax.tree_util.tree_leaves(g_ref)):
         _close(a, b, rtol=1e-4)
+
+
+def test_seg_head_train_kernel_parity():
+    """Fused training head vs jnp composition: logp, stats, all 16 grads."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        seg_head_train as sht,
+    )
+
+    rng = np.random.default_rng(0)
+    Bx, Nx, CPF, C1, C2, C3, K = 2, 128, 16, 64, 48, 32, 10
+    A = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s).astype(np.float32) * 0.2)
+    pf, g = A(Bx, Nx, CPF), A(Bx, 96)
+    args = (pf, g, A(CPF + 96, C1), A(C1),
+            jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32)), A(C1),
+            A(C1, C2), A(C2),
+            jnp.asarray(rng.uniform(0.5, 1.5, C2).astype(np.float32)), A(C2),
+            A(C2, C3), A(C3),
+            jnp.asarray(rng.uniform(0.5, 1.5, C3).astype(np.float32)), A(C3),
+            A(C3, K), A(K))
+
+    def ref(pf, g, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, g3, be3,
+            w4, b4):
+        concat = jnp.concatenate(
+            [pf, jnp.broadcast_to(g[:, None, :],
+                                  (Bx, Nx, g.shape[-1]))], -1)
+
+        def bnl(z, ga, be):
+            mu = z.mean(axis=(0, 1))
+            var = z.var(axis=(0, 1))
+            return ((z - mu) * jax.lax.rsqrt(var + BN_EPS) * ga + be,
+                    mu, var)
+
+        h, mu1, v1 = bnl(concat @ w1 + b1, g1, be1)
+        h = jnp.maximum(h, 0)
+        h2, mu2, v2 = bnl(h @ w2 + b2, g2, be2)
+        h2 = jnp.maximum(h2, 0)
+        h3, mu3, v3 = bnl(h2 @ w3 + b3, g3, be3)
+        h3 = jnp.maximum(h3, 0)
+        return (jax.nn.log_softmax(h3 @ w4 + b4, -1),
+                mu1, v1, mu2, v2, mu3, v3)
+
+    out = sht.seg_head_train(*args)
+    r = ref(*args)
+    for a, b in zip(out, r):
+        _close(a, b, rtol=1e-4)
+    idxs = tuple(range(16))
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(sht.seg_head_train(*a)[0])),
+                  argnums=idxs)(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a)[0])),
+                  argnums=idxs)(*args)
+    for a, b in zip(gf, gr):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (1 + scale)
