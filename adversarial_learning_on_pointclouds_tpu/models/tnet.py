@@ -45,11 +45,15 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
     k = x.shape[-1]  # fc3 emits k*k; k == input channel count
     new_state = {}
     if train and ops.pallas_enabled():
-        # conv1 layerwise, then the fused training trunk for conv2+conv3+
-        # pool. The reference applies ReLU before the pool; ReLU is
-        # monotone, so max(relu(y)) == relu(max(y)) — apply it to the
-        # pooled vector (gradient routing is identical: all-negative
-        # channels pool to 0 with zero grad either way).
+        # conv1 layerwise (tiny K — XLA already optimal; the trunk3
+        # variant folding it into the kernel chain measured slightly
+        # SLOWER, 7.23M vs 7.51M pts/s, from the extra z1 stash round
+        # trip — kept available in trunk_train.trunk3_train), then the
+        # fused training trunk for conv2+conv3+pool. The reference
+        # applies ReLU before the pool; ReLU is monotone, so
+        # max(relu(y)) == relu(max(y)) — apply it to the pooled vector
+        # (gradient routing identical: all-negative channels pool to 0
+        # with zero grad either way).
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             trunk_train,
         )

@@ -385,3 +385,94 @@ def _trunk2_bwd(res, cts):
 
 
 _trunk2.defvjp(_trunk2_fwd, _trunk2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# trunk3: conv1+BN1+ReLU folded in front (the full T-Net conv stack)
+# ---------------------------------------------------------------------------
+
+def _primal3(x, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, g3, be3):
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        seg_head_train as _sh,
+    )
+
+    bsz, n, _ = x.shape
+    m = bsz * n
+    z1, s1, ss1 = _f1_call(x, w1, b1)
+    mu1 = s1 / m
+    var1 = jnp.maximum(ss1 / m - mu1 * mu1, 0.0)
+    inv1 = jax.lax.rsqrt(var1 + BN_EPS)
+    sc1, sh1 = g1 * inv1, be1 - mu1 * g1 * inv1
+    z2, s2, ss2 = _sh._pmid_call(z1, sc1, sh1, w2, b2)
+    mu2 = s2 / m
+    var2 = jnp.maximum(ss2 / m - mu2 * mu2, 0.0)
+    inv2 = jax.lax.rsqrt(var2 + BN_EPS)
+    sc2, sh2 = g2 * inv2, be2 - mu2 * g2 * inv2
+    s3, ss3, mx, mn, imax, imin = _f2_call(z2, sc2, sh2, w3, b3)
+    mu3 = s3 / m
+    var3 = jnp.maximum(ss3 / m - mu3 * mu3, 0.0)
+    inv3 = jax.lax.rsqrt(var3 + BN_EPS)
+    s3c = g3 * inv3
+    t3 = be3 - mu3 * s3c
+    pos = s3c >= 0
+    g = jnp.where(pos, mx, mn) * s3c + t3
+    idx = jnp.where(pos, imax, imin)
+    out = (g, mu1, var1, mu2, var2, mu3, var3)
+    res = (x, z1, z2, w1, w2, w3, b3, mu1, inv1, sc1, sh1, mu2, inv2,
+           sc2, sh2, mu3, inv3, g3, be3, g, idx)
+    return out, res
+
+
+def trunk3_train(x, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, g3, be3):
+    """Fused training T-Net conv stack: conv1+BN1+ReLU -> conv2+BN2+ReLU
+    -> conv3+BN3 -> max-pool, all statistics in-kernel. Returns
+    ``(pooled, mu1, var1_biased, mu2, var2_biased, mu3, var3_biased)``.
+    The caller applies the reference's post-pool ReLU via
+    ``max(relu(y)) == relu(max(y))``."""
+    return _trunk3(x, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, g3, be3)
+
+
+@jax.custom_vjp
+def _trunk3(*args):
+    out, _ = _primal3(*args)
+    return out
+
+
+def _trunk3_fwd(*args):
+    return _primal3(*args)
+
+
+def _trunk3_bwd(res, cts):
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        seg_head_train as _sh,
+    )
+
+    (x, z1, z2, w1, w2, w3, b3, mu1, inv1, sc1, sh1, mu2, inv2,
+     sc2, sh2, mu3, inv3, g3, be3, g, idx) = res
+    dg = cts[0]
+    bsz, n, _ = x.shape
+    m = bsz * n
+    s3c = g3 * inv3
+
+    safe_g3 = jnp.where(g3 == 0, 1.0, g3)
+    zhat_win = (g - be3) / safe_g3
+    s1_ = jnp.sum(dg, axis=0)
+    s2_ = jnp.sum(dg * zhat_win, axis=0)
+    coef1 = jnp.broadcast_to((s3c * s1_ / m)[None], dg.shape)
+    coef2 = jnp.broadcast_to((s3c * s2_ / m)[None], dg.shape)
+    s3dg = s3c[None, :] * dg
+
+    dy2, dw3, db3, t1_2, t2_2 = _b1_call(
+        z2, sc2, sh2, w3, b3, mu3, inv3, coef1, coef2, s3dg, idx,
+        mu2, inv2)
+    dy1, dw2, db2, t1_1, t2_1 = _sh._bmid_call(
+        z2, dy2, sc2, mu2, inv2, sc2 * t1_2 / m, sc2 * t2_2 / m,
+        z1, sc1, sh1, w2, mu1, inv1)
+    dx, dw1, db1, _ = _sh._b1_call(
+        z1, dy1, sc1, mu1, inv1, sc1 * t1_1 / m, sc1 * t2_1 / m, x, w1)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1, t2_1, t1_1,
+            dw2.astype(w2.dtype), db2, t2_2, t1_2,
+            dw3.astype(w3.dtype), db3, s2_, s1_)
+
+
+_trunk3.defvjp(_trunk3_fwd, _trunk3_bwd)

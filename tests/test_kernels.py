@@ -461,3 +461,48 @@ def test_seg_head_train_kernel_parity():
     for a, b in zip(gf, gr):
         scale = float(jnp.max(jnp.abs(b)))
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (1 + scale)
+
+
+def test_trunk3_kernel_parity():
+    """trunk3 (conv1 folded in front) vs jnp composition incl. grads."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import trunk_train
+
+    rng = np.random.default_rng(1)
+    Bx, Nx, K0, C1, C2, C3 = 2, 128, 3, 24, 48, 64
+    A = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s).astype(np.float32) * 0.2)
+    args = (A(Bx, Nx, K0), A(K0, C1), A(C1),
+            jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32)), A(C1),
+            A(C1, C2), A(C2),
+            jnp.asarray(rng.uniform(0.5, 1.5, C2).astype(np.float32)), A(C2),
+            A(C2, C3), A(C3),
+            jnp.asarray((rng.uniform(0.5, 1.5, C3) *
+                         np.where(rng.random(C3) < 0.3, -1, 1)
+                         ).astype(np.float32)), A(C3))
+
+    def ref(x, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, g3, be3):
+        def bnl(z, ga, be):
+            mu = z.mean(axis=(0, 1))
+            var = z.var(axis=(0, 1))
+            return ((z - mu) * jax.lax.rsqrt(var + BN_EPS) * ga + be,
+                    mu, var)
+        h1, mu1, v1 = bnl(x @ w1 + b1, g1, be1)
+        h1 = jnp.maximum(h1, 0)
+        h2, mu2, v2 = bnl(h1 @ w2 + b2, g2, be2)
+        h2 = jnp.maximum(h2, 0)
+        y3, mu3, v3 = bnl(h2 @ w3 + b3, g3, be3)
+        return jnp.max(y3, axis=1), mu1, v1, mu2, v2, mu3, v3
+
+    out = trunk_train.trunk3_train(*args)
+    r = ref(*args)
+    for a, b in zip(out, r):
+        _close(a, b, rtol=1e-4)
+    idxs = tuple(range(13))
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        trunk_train.trunk3_train(*a)[0])), argnums=idxs)(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a)[0])),
+                  argnums=idxs)(*args)
+    for a, b in zip(gf, gr):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (1 + scale)
