@@ -43,6 +43,17 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the bf16 step graph can take minutes
+    # to compile on this platform; cache it so repeat bench runs (e.g.
+    # the driver's) start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/pointtpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import numpy as np
 
     from adversarial_learning_on_pointclouds_tpu.configs import AdversarialConfig
