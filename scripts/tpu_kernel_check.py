@@ -125,6 +125,35 @@ def main():
             assert np.allclose(ydn[bi, idx], xn[bi, 0], atol=1e-6)
     print("[OK ] dropout replaces with first point")
 
+    # 3b. fused TRAINING kernels, compiled: grads vs jnp path (batch 8+
+    # to keep small-batch BN amplification bounded; see tests).
+    from adversarial_learning_on_pointclouds_tpu import losses as _losses
+    from adversarial_learning_on_pointclouds_tpu.models import core as _core
+
+    labels = jax.random.randint(jax.random.PRNGKey(9), (B, N), 0, 50)
+
+    def train_loss(p, use):
+        def inner():
+            logp, _, tf, _ = apply_segmenter(p, ss, x, train=True)
+            return (_losses.nll_loss(logp, labels)
+                    + 0.001 * _losses.orthogonality_reg(tf))
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    g_ref = jax.jit(jax.grad(lambda p: train_loss(p, False)))(sp)
+    g_pal = jax.jit(jax.grad(lambda p: train_loss(p, True)))(sp)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g_ref))
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                                jax.tree_util.tree_leaves(g_ref)))
+    ok_train = worst <= 2e-2 * (1 + scale)
+    print(f"[{'OK ' if ok_train else 'FAIL'}] fused TRAINING kernels grads: "
+          f"worst={worst:.2e} (scale {scale:.2e})")
+    ok &= ok_train
+
     # 4. timing sanity: fused eval vs XLA eval
     f_ref = jax.jit(lambda p, s, x: apply_segmenter(p, s, x, train=False)[0])
     with use_pallas():
