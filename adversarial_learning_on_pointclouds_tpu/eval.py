@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import jax
 import numpy as np
 
 from adversarial_learning_on_pointclouds_tpu.data.loader import batch_iterator

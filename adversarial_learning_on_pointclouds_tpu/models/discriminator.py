@@ -11,8 +11,6 @@ BatchNorm** (GAN discriminator convention), outputs per-point real/fake
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ LeakyReLU's derivative is recoverable from its output sign
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

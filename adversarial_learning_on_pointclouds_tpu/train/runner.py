@@ -14,7 +14,6 @@ import os
 import tempfile
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 
 from adversarial_learning_on_pointclouds_tpu import eval as eval_lib

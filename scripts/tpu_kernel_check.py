@@ -128,7 +128,6 @@ def main():
     # 3b. fused TRAINING kernels, compiled: grads vs jnp path (batch 8+
     # to keep small-batch BN amplification bounded; see tests).
     from adversarial_learning_on_pointclouds_tpu import losses as _losses
-    from adversarial_learning_on_pointclouds_tpu.models import core as _core
 
     labels = jax.random.randint(jax.random.PRNGKey(9), (B, N), 0, 50)
 
