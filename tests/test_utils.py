@@ -1,0 +1,111 @@
+"""Tests for the smaller utility modules: ply export, metric logger,
+profiling contexts, configs CLI shims, PGD attack."""
+
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adversarial_learning_on_pointclouds_tpu import attacks, configs
+from adversarial_learning_on_pointclouds_tpu.utils import ply
+from adversarial_learning_on_pointclouds_tpu.utils.logging import MetricLogger
+from adversarial_learning_on_pointclouds_tpu.utils.profiling import debug_nans
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).standard_normal((32, 3)).astype(np.float32)
+    labels = np.arange(32) % 5
+    path = str(tmp_path / "x.ply")
+    ply.write_ply_with_labels(path, pts, labels)
+    back = ply.read_ply(path)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+    # colors cycle the palette by label
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "ply"
+    assert f"element vertex 32" in "\n".join(lines[:5])
+
+
+def test_metric_logger_csv(tmp_path):
+    lg = MetricLogger(str(tmp_path), "run", quiet=True)
+    for step in range(3):
+        lg.log_step(0, step, 3, step, {"loss": 1.0 / (step + 1)},
+                    points_per_step=1024, num_chips=1)
+    lg.log_epoch(0, accuracy=0.5)
+    lg.close()
+    with open(tmp_path / "run_metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert float(rows[0]["loss"]) == 1.0
+    assert "points_per_sec_per_chip" in rows[0]
+    assert float(rows[1]["points_per_sec_per_chip"]) > 0
+
+
+def test_debug_nans_context():
+    prev = jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans is True
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.asarray(-1.0)).block_until_ready()
+    assert jax.config.jax_debug_nans == prev
+
+
+def test_cli_shims_parse_reference_flags():
+    cfg = configs.classify_config_from_args(
+        ["--batchSize", "16", "--num_points", "512", "--nepoch", "5",
+         "--outf", "out", "--feature_transform", "--augment",
+         "--manualSeed", "7", "--bf16"])
+    assert cfg.batch_size == 16 and cfg.num_points == 512
+    assert cfg.epochs == 5 and cfg.out_dir == "out"
+    assert cfg.feature_transform and cfg.augment and cfg.bf16
+    assert cfg.seed == 7
+
+    acfg = configs.adversarial_config_from_args(
+        ["--lambda_adv", "0.02", "--lambda_semi", "0.2",
+         "--threshold", "0.3", "--labeled_ratio", "0.25",
+         "--lr_D", "2e-4", "--class_choice", "Chair"])
+    assert acfg.lambda_adv == pytest.approx(0.02)
+    assert acfg.lambda_semi == pytest.approx(0.2)
+    assert acfg.semi_threshold == pytest.approx(0.3)
+    assert acfg.labeled_ratio == pytest.approx(0.25)
+    assert acfg.lr_d == pytest.approx(2e-4)
+    assert acfg.class_choice == "Chair"
+    assert acfg.num_points == 2048  # seg default
+
+    pcfg = configs.adv_perturb_config_from_args(["--epsilon", "0.1"])
+    assert pcfg.epsilon == pytest.approx(0.1)
+    assert pcfg.num_points == 1024  # cls default
+
+
+def test_pgd_attack_stays_in_ball():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3))
+
+    def loss(z):
+        return jnp.sum(jnp.sin(z) ** 2)
+
+    x_adv = attacks.iterated_fgsm_points(loss, x, epsilon=0.03, steps=5)
+    delta = np.abs(np.asarray(x_adv - x))
+    assert delta.max() <= 0.03 + 1e-6
+    assert delta.max() > 0.0
+    # PGD with 1 step == FGSM with step size eps.
+    a = attacks.iterated_fgsm_points(loss, x, 0.03, 1)
+    b = attacks.fgsm_points(loss, x, 0.03)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_synthetic_modelnet_schema(tmp_path):
+    """Fixture files carry the exact documented real-dataset schema."""
+    import h5py
+
+    from adversarial_learning_on_pointclouds_tpu.data.modelnet40 import (
+        make_synthetic_modelnet_h5,
+    )
+    root = make_synthetic_modelnet_h5(str(tmp_path), 8, 4, 128)
+    with h5py.File(os.path.join(root, "ply_data_train0.h5")) as f:
+        assert f["data"].dtype == np.float32
+        assert f["data"].shape[1:] == (128, 3)
+        assert f["label"].dtype == np.uint8
+        assert f["label"].shape[1] == 1
