@@ -71,7 +71,7 @@ def _p1_kernel(pf_ref, grow_ref, w1a_ref, b1_ref, z_ref, sum_ref, ssq_ref):
 def _p1_call(pf, g_row, w1a, b1):
     bsz, n, c_pf = pf.shape
     c1 = w1a.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     z1, s, ss = pl.pallas_call(
         _p1_kernel,
         grid=(bsz, n // tn),
@@ -114,7 +114,7 @@ def _pmid_kernel(z_ref, sc_ref, sh_ref, w_ref, b_ref,
 def _pmid_call(z_prev, sc, sh, w, b):
     bsz, n, c_in = z_prev.shape
     c_out = w.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     z, s, ss = pl.pallas_call(
         _pmid_kernel,
         grid=(bsz, n // tn),
@@ -151,7 +151,7 @@ def _p4_kernel(z_ref, sc_ref, sh_ref, w_ref, b_ref, o_ref):
 def _p4_call(z3, sc3, sh3, w4, b4):
     bsz, n, c_in = z3.shape
     k = w4.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     return pl.pallas_call(
         _p4_kernel,
         grid=(bsz, n // tn),
@@ -202,7 +202,7 @@ def _b4_kernel(z_ref, sc_ref, sh_ref, w_ref, b_ref, mu_ref, inv_ref,
 def _b4_call(z3, sc3, sh3, w4, b4, mu3, inv3, dlogp):
     bsz, n, c3 = z3.shape
     k = w4.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     dy3, dw4, db4, t1, t2 = pl.pallas_call(
         _b4_kernel,
         grid=(bsz, n // tn),
@@ -271,7 +271,7 @@ def _bmid_call(zc, dy, sc, mu, inv, coef1, coef2,
                zp, scp, shp, w, mup, invp):
     bsz, n, c_cur = zc.shape
     c_prev = zp.shape[-1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     dyp, dw, db, t1, t2 = pl.pallas_call(
         _bmid_kernel,
         grid=(bsz, n // tn),
@@ -331,7 +331,7 @@ def _b1_kernel(z1_ref, dy_ref, sc_ref, mu_ref, inv_ref, c1_ref, c2_ref,
 def _b1_call(z1, dy1, sc1, mu1, inv1, coef1, coef2, pf, w1a):
     bsz, n, c1 = z1.shape
     c_pf = pf.shape[-1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     dpf, dw1a, db1, r = pl.pallas_call(
         _b1_kernel,
         grid=(bsz, n // tn),

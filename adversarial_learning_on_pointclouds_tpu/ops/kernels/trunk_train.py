@@ -72,7 +72,7 @@ def _stash_dtype():
 def _f1_call(x, w2, b2):
     bsz, n, c_in = x.shape
     c2 = w2.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     z2, s, ss = pl.pallas_call(
         _f1_kernel,
         grid=(bsz, n // tn),
@@ -149,7 +149,7 @@ def _f2_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref,
 def _f2_call(z2, scale2, shift2, w3, b3):
     bsz, n, c2 = z2.shape
     c3 = w3.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     outs = pl.pallas_call(
         _f2_kernel,
         grid=(bsz, n // tn),
@@ -238,7 +238,7 @@ def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
              idx, mu2, inv2):
     bsz, n, c2 = z2.shape
     c3 = w3.shape[1]
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     row = lambda a: a.reshape(1, -1)  # noqa: E731
     outs = pl.pallas_call(
         _b1_kernel,
