@@ -506,3 +506,21 @@ def test_trunk3_kernel_parity():
     for a, b in zip(gf, gr):
         scale = float(jnp.max(jnp.abs(b)))
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (1 + scale)
+
+
+def test_fused_training_kernels_odd_point_count(rng_key):
+    """Point counts that aren't tile-sized still work (tile falls back to
+    smaller divisors; 200 -> tn=8)."""
+    from adversarial_learning_on_pointclouds_tpu import losses
+
+    params, state = init_segmenter(rng_key, 50, feature_transform=True)
+    x = _rand(1, (4, 200, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (4, 200), 0, 50)
+
+    with use_pallas():
+        logp, _, _, ns = apply_segmenter(params, state, x, train=True)
+        assert logp.shape == (4, 200, 50)
+        g = jax.grad(lambda p: losses.nll_loss(
+            apply_segmenter(p, state, x, train=True)[0], labels))(params)
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(g))
