@@ -16,7 +16,9 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pts_loader.cpp")
-_LIB = os.path.join(_DIR, "libptsloader.so")
+# The lib lives in a non-package subdir so package walkers do not
+# mistake it for a CPython extension module.
+_LIB = os.path.join(_DIR, "_cache", "libptsloader.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
@@ -40,6 +42,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
+        os.makedirs(os.path.dirname(_LIB), exist_ok=True)
         if not os.path.exists(_LIB) or (
                 os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             if not _compile():
