@@ -45,8 +45,27 @@ class BaseConfig:
     beta2: float = 0.999
     lr_step: int = 20             # StepLR step_size
     lr_gamma: float = 0.5         # StepLR gamma
+    optimizer: str = "adam"       # --optimizer {adam,sgd}: sgd(momentum
+                                  #   0.9) is the Hung et al. G-optimizer
+    lr_schedule: str = "step"     # --lr_schedule {step,poly}: poly is the
+                                  #   Hung et al. (1-step/total)^0.9 decay
+    poly_power: float = 0.9       # --poly_power
     feature_transform: bool = False  # --feature_transform
     augment: bool = False         # on-device rotate/jitter chain
+    normalize: bool = True        # unit-sphere normalize (reference
+                                  #   __getitem__ does this for every
+                                  #   shape); --no_normalize to disable
+    resample: bool = True         # fresh fixed-N subsample per batch on
+                                  #   device when the source clouds have
+                                  #   more points than num_points
+                                  #   (reference: np.random.choice per
+                                  #   __getitem__); --no_resample freezes
+                                  #   one host-side subsample per run
+    point_dropout: bool = False   # --point_dropout (provider.py
+                                  #   random_point_dropout, max ratio .875)
+    scan: int = 0                 # --scan K: fuse K train steps per
+                                  #   program launch via lax.scan with
+                                  #   K-batch stacked transfers
     use_pallas: bool = True       # fused Pallas kernels vs jnp fallback
     bf16: bool = False            # mixed precision: bf16 matmul inputs
     remat: bool = False           # rematerialize big per-point
@@ -87,6 +106,14 @@ class AdversarialConfig(SegmentConfig):
     """
 
     lambda_adv: float = 0.01      # --lambda_adv
+    lambda_adv_unl: Optional[float] = None
+                                  # --lambda_adv_unl: per-stream adversarial
+                                  #   weight for the UNLABELED stream (Hung
+                                  #   et al. apply eq. 3 per stream with
+                                  #   separate weights, e.g. 0.01 labeled /
+                                  #   0.001 semi). None = the default
+                                  #   single-lambda average over both
+                                  #   streams.
     lambda_semi: float = 0.1      # --lambda_semi
     semi_threshold: float = 0.2   # --threshold  (T_semi)
     labeled_ratio: float = 0.5    # --labeled_ratio (labeled/unlabeled split)
@@ -126,13 +153,34 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="use feature transform (STNkd + ortho regularizer)")
     p.add_argument("--augment", action="store_true",
                    help="on-device rotate/jitter augmentation")
+    p.add_argument("--no_normalize", action="store_true",
+                   help="skip unit-sphere normalization (reference "
+                        "normalizes every shape in __getitem__)")
+    p.add_argument("--no_resample", action="store_true",
+                   help="freeze one host-side fixed-N subsample per run "
+                        "instead of a fresh on-device draw per batch")
+    p.add_argument("--point_dropout", action="store_true",
+                   help="random point dropout (provider.py convention, "
+                        "max dropout ratio 0.875)")
+    p.add_argument("--scan", type=int, default=0,
+                   help="fuse K train steps per program launch via "
+                        "lax.scan (K-batch stacked host transfers)")
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=("adam", "sgd"),
+                   help="sgd(momentum 0.9) is Hung et al.'s G optimizer")
+    p.add_argument("--lr_schedule", type=str, default="step",
+                   choices=("step", "poly"),
+                   help="poly = Hung et al.'s (1-step/total)^0.9 decay")
+    p.add_argument("--poly_power", type=float, default=0.9)
     p.add_argument("--no_pallas", action="store_true",
                    help="disable Pallas kernels (pure jnp/XLA path)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision (bf16 matmul inputs, fp32 accum)")
     p.add_argument("--remat", action="store_true",
-                   help="recompute big activations in backward "
-                        "(less HBM traffic; measured faster on v5e)")
+                   help="recompute big activations in backward — shrinks "
+                        "the HBM footprint for much larger batch/point "
+                        "counts, but measured SLOWER on v5e at baseline "
+                        "shapes (2.49M vs 3.11M pts/s); memory knob only")
     p.add_argument("--resume_full", action="store_true",
                    help="restore FULL train state from --model (optimizer, "
                         "RNG, step) instead of reference-style params-only")
@@ -155,6 +203,13 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         seed=a.manualSeed,
         feature_transform=a.feature_transform,
         augment=a.augment,
+        normalize=not a.no_normalize,
+        resample=not a.no_resample,
+        point_dropout=a.point_dropout,
+        scan=a.scan,
+        optimizer=a.optimizer,
+        lr_schedule=a.lr_schedule,
+        poly_power=a.poly_power,
         use_pallas=not a.no_pallas,
         bf16=a.bf16,
         remat=a.remat,
@@ -194,6 +249,11 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
     _add_common_flags(p)
     p.add_argument("--class_choice", type=str, default=None)
     p.add_argument("--lambda_adv", type=float, default=0.01)
+    p.add_argument("--lambda_adv_unl", type=float, default=None,
+                   help="separate adversarial weight for the unlabeled "
+                        "stream (Hung et al. per-stream eq. 3, e.g. "
+                        "0.001); default: single lambda_adv averaged "
+                        "over both streams")
     p.add_argument("--lambda_semi", type=float, default=0.1)
     p.add_argument("--threshold", type=float, default=0.2,
                    help="T_semi confidence threshold")
@@ -211,6 +271,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         class_choice=a.class_choice,
         feature_transform=a.feature_transform,
         lambda_adv=a.lambda_adv,
+        lambda_adv_unl=a.lambda_adv_unl,
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         fused_forward=a.fused_forward,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_unit_sphere(points: jnp.ndarray) -> jnp.ndarray:
@@ -97,24 +98,65 @@ def point_dropout(rng: jax.Array, points: jnp.ndarray,
     return jnp.where(drop, first, points)
 
 
-def augment_batch(rng: jax.Array, points: jnp.ndarray,
-                  rotate: bool = True, do_jitter: bool = True,
-                  dropout: bool = False, normalize: bool = False,
-                  ) -> jnp.ndarray:
-    """The fused chain: [normalize] -> rotate -> jitter -> [dropout].
+def normalize_unit_sphere_np(points: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) unit-sphere normalize, for deterministic eval-set
+    preparation — same math as ``normalize_unit_sphere``."""
+    points = np.asarray(points, np.float32)
+    centered = points - points.mean(axis=-2, keepdims=True)
+    scale = np.max(np.linalg.norm(centered, axis=-1, keepdims=True),
+                   axis=-2, keepdims=True)
+    return centered / np.maximum(scale, 1e-12)
 
-    Order follows the reference train loop (SURVEY.md §2.2 "Fused chain").
-    Resampling is applied separately at load time (it changes N). All of
-    this inlines into the jitted train step, so XLA fuses it with the
+
+def augment_batch(rng: jax.Array, points: jnp.ndarray,
+                  labels: jnp.ndarray | None = None, *,
+                  num_points: int | None = None,
+                  normalize: bool = False, resample: bool = False,
+                  rotate: bool = True, do_jitter: bool = True,
+                  dropout: bool = False):
+    """The fused chain: normalize -> resample -> rotate -> jitter -> dropout.
+
+    Order follows the reference (SURVEY.md §2.2 "Fused chain", [A] per
+    ``BASELINE.json:5``): the reference's ``__getitem__`` normalizes over
+    the FULL point set, then draws a fresh fixed-N ``np.random.choice``
+    subsample every access, then ``provider.py`` augments. ``labels``
+    (per-point, segmentation) ride the same resample gather. All of this
+    inlines into the jitted train step, so XLA fuses it with the
     device-side batch prep — zero extra HBM round-trips.
+
+    Returns ``points`` or ``(points, labels)`` when labels are given.
     """
-    k_rot, k_jit, k_drop = jax.random.split(rng, 3)
+    k_res, k_rot, k_jit, k_drop = jax.random.split(rng, 4)
     if normalize:
         points = normalize_unit_sphere(points)
+    if resample and num_points is not None:
+        if labels is None:
+            points = resample_fixed_n(k_res, points, num_points)
+        else:
+            points, labels = resample_fixed_n(k_res, points, num_points,
+                                              labels)
     if rotate:
         points = random_rotate(k_rot, points)
     if do_jitter:
         points = jitter(k_jit, points)
     if dropout:
         points = point_dropout(k_drop, points)
-    return points
+    return points if labels is None else (points, labels)
+
+
+def chain_from_cfg(rng: jax.Array, cfg, points: jnp.ndarray,
+                   labels: jnp.ndarray | None = None):
+    """The config-driven preprocessing chain every train step applies.
+
+    The reference splits this between ``__getitem__`` (normalize +
+    resample, always on) and the train loop's augmentation flag
+    (rotate/jitter) plus ``provider.py`` dropout; here one fused on-device
+    stage, gated by ``cfg.normalize`` / ``cfg.resample`` / ``cfg.augment``
+    / ``cfg.point_dropout``.
+    """
+    resample = cfg.resample and points.shape[1] != cfg.num_points
+    return augment_batch(
+        rng, points, labels, num_points=cfg.num_points,
+        normalize=cfg.normalize, resample=resample,
+        rotate=cfg.augment, do_jitter=cfg.augment,
+        dropout=cfg.point_dropout)

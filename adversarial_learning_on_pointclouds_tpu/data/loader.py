@@ -3,18 +3,111 @@
 Replaces the reference's ``torch.utils.data.DataLoader(batch_size=32,
 shuffle=True, num_workers=4, drop_last=...)`` plumbing (SURVEY.md §2.1).
 Batches are assembled as numpy on the host and ``jax.device_put`` with the
-requested sharding one step ahead of consumption (double buffering), so
-the host->device copy overlaps the previous step's compute.
+requested sharding ahead of consumption (double buffering), so the
+host->device copy overlaps the previous step's compute.
+
+Three layers, composable:
+
+* ``host_batch_iterator`` — pure-host numpy batch assembly (shuffle,
+  drop-last / pad+mask), the analogue of the reference's Dataset+Sampler.
+* ``device_batches`` — generic device stage: optional K-stacking for
+  ``lax.scan`` trainers ([K, B, ...] groups, one transfer per group),
+  sharded ``device_put``, threaded prefetch (the ``--workers`` knob).
+* ``batch_iterator`` — the one-call convenience wrapping both (the
+  reference's ``DataLoader`` surface).
+
+``cycling_host_batches`` reproduces the reference adversarial trainer's
+unlabeled-stream semantics: an iterator that reshuffles and restarts
+whenever exhausted (``upstream:train_adversarial*.py``'s
+``try: next(loader_iter) except StopIteration: loader_iter = iter(loader)``
+pattern), with its position persisting across labeled epochs.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
+
+
+def host_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
+                        shuffle: bool = True, drop_last: bool = True,
+                        seed: int = 0, epoch: int = 0,
+                        ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Yield numpy batch tuples from parallel host arrays.
+
+    ``drop_last=True`` matches the reference's training loader (keeps every
+    batch shape static for XLA); with ``False`` (eval) EVERY batch gets a
+    boolean validity mask appended (all-True for full batches; the final
+    ragged batch is padded up to ``batch_size`` with pad rows masked out) —
+    constant tuple arity for consumers.
+    """
+    n = arrays[0].shape[0]
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            pad = np.zeros(batch_size - len(idx), dtype=idx.dtype)
+            mask = np.concatenate([np.ones(len(idx), bool),
+                                   np.zeros(len(pad), bool)])
+            idx = np.concatenate([idx, pad])
+        else:
+            mask = np.ones(batch_size, bool)
+        batch = tuple(a[idx] for a in arrays)
+        yield batch if drop_last else batch + (mask,)
+
+
+def cycling_host_batches(arrays: Sequence[np.ndarray], batch_size: int,
+                         seed: int = 0, start_epoch: int = 0,
+                         ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Infinite shuffled host batches: reshuffle + restart on exhaustion.
+
+    The reference's unlabeled-stream iterator for adversarial training
+    cycles like this, its position persisting across labeled epochs.
+    """
+    pass_idx = start_epoch
+    while True:
+        yield from host_batch_iterator(arrays, batch_size, shuffle=True,
+                                       drop_last=True, seed=seed,
+                                       epoch=pass_idx)
+        pass_idx += 1
+
+
+def device_batches(host_batches: Iterable[Tuple[np.ndarray, ...]],
+                   sharding: Optional[jax.sharding.Sharding] = None,
+                   k_stack: int = 0, prefetch: int = 2,
+                   ) -> Iterator[Tuple[Tuple[jax.Array, ...], bool]]:
+    """Device stage: optional K-stacking, sharded transfer, prefetch.
+
+    Yields ``(batch_tuple, stacked)`` pairs. With ``k_stack > 1``,
+    consecutive host batches are grouped and stacked to ``[K, B, ...]``
+    (``stacked=True``) for scan-based trainers — one host->device transfer
+    per K steps; a final partial group is yielded as plain single batches
+    (``stacked=False``) so the consumer never sees a ragged K.
+    """
+    def gen():
+        if k_stack > 1:
+            group = []
+            for batch in host_batches:
+                group.append(batch)
+                if len(group) == k_stack:
+                    stacked = tuple(np.stack(parts)
+                                    for parts in zip(*group))
+                    yield _put(stacked, sharding, batch_axis=1), True
+                    group = []
+            for batch in group:  # ragged tail -> single steps
+                yield _put(batch, sharding, batch_axis=0), False
+        else:
+            for batch in host_batches:
+                yield _put(batch, sharding, batch_axis=0), False
+
+    return _prefetched(gen(), prefetch)
 
 
 def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
@@ -23,49 +116,39 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
                    sharding: Optional[jax.sharding.Sharding] = None,
                    prefetch: int = 2,
                    ) -> Iterator[Tuple[jax.Array, ...]]:
-    """Yield device-resident batch tuples from parallel host arrays.
+    """Device-resident batch tuples — ``host_batch_iterator`` + transfer
+    + prefetch in one call (the reference's ``DataLoader`` surface)."""
+    host = host_batch_iterator(arrays, batch_size, shuffle, drop_last,
+                               seed, epoch)
+    for batch, _ in device_batches(host, sharding, k_stack=0,
+                                   prefetch=prefetch):
+        yield batch
 
-    ``drop_last=True`` matches the reference's training loader (keeps every
-    batch shape static for XLA); pass ``False`` for eval, where the final
-    ragged batch is padded up to ``batch_size`` and a boolean validity mask
-    is appended to the tuple.
-    """
-    n = arrays[0].shape[0]
-    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-    order = rng.permutation(n) if shuffle else np.arange(n)
 
-    def host_batches():
-        for start in range(0, n, batch_size):
-            idx = order[start:start + batch_size]
-            if len(idx) < batch_size:
-                if drop_last:
-                    return
-                pad = np.zeros(batch_size - len(idx), dtype=idx.dtype)
-                mask = np.concatenate([np.ones(len(idx), bool),
-                                       np.zeros(len(pad), bool)])
-                idx = np.concatenate([idx, pad])
-                yield tuple(a[idx] for a in arrays) + (mask,)
-            else:
-                yield tuple(a[idx] for a in arrays)
+def num_batches(n: int, batch_size: int, drop_last: bool = True) -> int:
+    return n // batch_size if drop_last else -(-n // batch_size)
 
-    def put(batch):
-        if sharding is not None:
-            return tuple(jax.device_put(a, _fit_rank(sharding, a.ndim))
-                         for a in batch)
+
+def _put(batch, sharding, batch_axis: int):
+    if sharding is None:
         return tuple(jax.device_put(a) for a in batch)
+    return tuple(
+        jax.device_put(a, _fit_rank(sharding, a.ndim, batch_axis))
+        for a in batch)
 
+
+def _prefetched(gen: Iterator, prefetch: int) -> Iterator:
+    """Run ``gen`` in a producer thread, ``prefetch`` items ahead."""
     if prefetch <= 0:
-        for batch in host_batches():
-            yield put(batch)
+        yield from gen
         return
-
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _SENTINEL = object()
 
     def producer():
         try:
-            for batch in host_batches():
-                q.put(put(batch))
+            for item in gen:
+                q.put(item)
             q.put(_SENTINEL)
         except BaseException as e:  # propagate to the consumer
             q.put(e)
@@ -81,14 +164,11 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
         yield item
 
 
-def num_batches(n: int, batch_size: int, drop_last: bool = True) -> int:
-    return n // batch_size if drop_last else -(-n // batch_size)
-
-
-def _fit_rank(sharding: jax.sharding.Sharding, ndim: int):
-    """Adapt a batch sharding to an array's rank (labels are rank 1-2)."""
+def _fit_rank(sharding: jax.sharding.Sharding, ndim: int, batch_axis: int = 0):
+    """Adapt a batch sharding to an array's rank (labels are rank 1-2) and
+    batch-axis position (K-stacked batches carry the batch at axis 1)."""
     if isinstance(sharding, jax.sharding.NamedSharding):
-        spec = list(sharding.spec) + [None] * ndim
+        spec = [None] * batch_axis + list(sharding.spec) + [None] * ndim
         return jax.sharding.NamedSharding(
             sharding.mesh, jax.sharding.PartitionSpec(*spec[:ndim]))
     return sharding

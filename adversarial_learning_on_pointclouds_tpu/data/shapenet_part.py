@@ -179,6 +179,13 @@ class ShapeNetPart:
             return pts, seg, self.category
         if self.points.shape[1] == num_points:
             return self.points, self.part_labels, self.category
+        if self.points.shape[1] < num_points:
+            # Upsample-with-replacement to the requested size (pool mode
+            # can ask for more points than the source holds).
+            rng = np.random.default_rng(seed)
+            idx = rng.choice(self.points.shape[1], num_points, replace=True)
+            return (self.points[:, idx], self.part_labels[:, idx],
+                    self.category)
         rng = np.random.default_rng(seed)
         pts = np.empty((len(self), num_points, 3), np.float32)
         seg = np.empty((len(self), num_points), np.int32)
@@ -188,6 +195,21 @@ class ShapeNetPart:
             pts[i] = p[idx]
             seg[i] = self.part_labels[i][idx]
         return pts, seg, self.category
+
+    def as_pool_arrays(self, num_points: int, seed: int = 0,
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Rectangular point POOL for the on-device per-batch fixed-N
+        resample (the reference's fresh ``np.random.choice`` every
+        ``__getitem__``; SURVEY.md §2.1 "Fixed-N resample").
+
+        h5 layout: the full source-resolution arrays, untouched — the
+        on-device resampler then draws from the complete point set, exactly
+        like the reference. Ragged pts layout: rectangularized once to
+        ``2 * num_points`` (a one-time host draw; the per-batch device draw
+        then resamples fresh from that pool every epoch)."""
+        if not self._ragged:
+            return self.points, self.part_labels, self.category
+        return self.as_arrays(2 * num_points, seed)
 
 
 def make_synthetic_shapenet(root: str, num_shapes: int = 64,

@@ -37,6 +37,38 @@ def pallas_train_enabled() -> bool:
     return getattr(_state, "use_pallas_train", False)
 
 
+def current_paths() -> tuple:
+    """The trace-time path flags as a hashable tuple — (pallas,
+    pallas_train, mixed-precision dtype name or None).
+
+    The flags live in thread-locals read at TRACE time, so they are
+    invisible to ``jax.jit``'s cache key on their own: toggling a context
+    between calls of the same jitted step would silently reuse the
+    previously traced path. Every jitted step therefore captures
+    ``current_paths()`` at call time and threads it through as a static
+    argument, re-establishing it during tracing via ``path_context``
+    (ADVICE round 1, ops/dispatch.py finding).
+    """
+    cd = core.compute_dtype()
+    return (pallas_enabled(), pallas_train_enabled(),
+            None if cd is None else jnp.dtype(cd).name)
+
+
+@contextlib.contextmanager
+def path_context(paths: tuple):
+    """Re-establish a ``current_paths()`` capture (used inside jitted
+    functions so the traced path matches the static cache key exactly)."""
+    pallas, pallas_train, mp_name = paths
+    prev = (pallas_enabled(), pallas_train_enabled())
+    _state.use_pallas, _state.use_pallas_train = pallas, pallas_train
+    try:
+        with core.mixed_precision(dtype=mp_name or jnp.bfloat16,
+                                  enabled=mp_name is not None):
+            yield
+    finally:
+        _state.use_pallas, _state.use_pallas_train = prev
+
+
 @contextlib.contextmanager
 def use_pallas(enabled: bool = True, training: bool = False):
     """Enable the Pallas kernel paths within the context.

@@ -55,12 +55,21 @@ def create_state(cfg: AdversarialConfig, steps_per_epoch: int,
 
 
 def make_txs(cfg: AdversarialConfig, steps_per_epoch: int):
+    """G and D optimizers. ``cfg.optimizer``/``cfg.lr_schedule`` select
+    between the reference-lineage default (Adam + StepLR for both) and the
+    Hung et al. original (SGD-G / Adam-D with poly decay) — the D stays
+    Adam in both, as in Hung et al."""
+    total = cfg.epochs * steps_per_epoch
     g_tx = state_lib.make_optimizer(
         cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
-        steps_per_epoch)
+        steps_per_epoch, optimizer=cfg.optimizer,
+        lr_schedule=cfg.lr_schedule, total_steps=total,
+        poly_power=cfg.poly_power)
     d_tx = state_lib.make_optimizer(
         cfg.lr_d, cfg.beta1_d, cfg.beta2_d, cfg.lr_step, cfg.lr_gamma,
-        steps_per_epoch)
+        steps_per_epoch, optimizer="adam",
+        lr_schedule=cfg.lr_schedule, total_steps=total,
+        poly_power=cfg.poly_power)
     return g_tx, d_tx
 
 
@@ -126,9 +135,18 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
     l_ce = losses.nll_loss(logp_l, y_l)
     if cfg.feature_transform:
         l_ce = l_ce + FT_REG_WEIGHT * reg
-    l_adv = 0.5 * (losses.adv_g_loss(d_out_l) + losses.adv_g_loss(d_out_u))
+    adv_l = losses.adv_g_loss(d_out_l)
+    adv_u = losses.adv_g_loss(d_out_u)
+    l_adv = 0.5 * (adv_l + adv_u)
+    if cfg.lambda_adv_unl is None:
+        # Default: one lambda_adv averaged over both streams.
+        adv_term = cfg.lambda_adv * l_adv
+    else:
+        # Hung et al. per-stream eq. 3: separate weights on the labeled
+        # and unlabeled adversarial terms (e.g. 0.01 / 0.001).
+        adv_term = cfg.lambda_adv * adv_l + cfg.lambda_adv_unl * adv_u
     l_semi = losses.semi_loss(logp_u, d_out_u, cfg.semi_threshold)
-    total = l_ce + cfg.lambda_adv * l_adv + semi_on * cfg.lambda_semi * l_semi
+    total = l_ce + adv_term + semi_on * cfg.lambda_semi * l_semi
     aux = dict(bn=bn2, probs_l=probs_l, probs_u=probs_u,
                d_l=d_out_l, d_u=d_out_u,
                l_ce=l_ce, l_adv=l_adv, l_semi=l_semi, logp_l=logp_l)
@@ -163,20 +181,42 @@ def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int,
     return losses.d_loss(d_real, d_fake), (d_real, d_fake)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx", "paths"))
+def _train_step_jit(state, x_l, y_l, x_u, *, cfg, g_tx, d_tx, paths):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    with dispatch.path_context(paths):
+        return _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx)
+
+
 def train_step(state: state_lib.GANTrainState,
                x_l: jnp.ndarray, y_l: jnp.ndarray, x_u: jnp.ndarray, *,
                cfg: AdversarialConfig, g_tx, d_tx,
                ) -> Tuple[state_lib.GANTrainState, Dict[str, jnp.ndarray]]:
     """One alternating G/D update as a single XLA program.
 
-    ``x_l [B,N,3]`` labeled points, ``y_l [B,N]`` part labels,
-    ``x_u [B,N,3]`` unlabeled points.
+    ``x_l [B,N_src,3]`` labeled points, ``y_l [B,N_src]`` part labels,
+    ``x_u [B,N_src,3]`` unlabeled points (resampled on device to
+    ``cfg.num_points``). Pallas/bf16 path flags are jit-cache-keyed
+    (``dispatch.current_paths``, see classify.train_step).
     """
-    return _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx)
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    return _train_step_jit(state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx,
+                           d_tx=d_tx, paths=dispatch.current_paths())
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx", "paths"))
+def _train_steps_scan_jit(state, x_l, y_l, x_u, *, cfg, g_tx, d_tx, paths):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    def body(s, batch):
+        xl, yl, xu = batch
+        s, m = _train_step_impl(s, xl, yl, xu, cfg, g_tx, d_tx)
+        return s, m
+
+    with dispatch.path_context(paths):
+        return jax.lax.scan(body, state, (x_l, y_l, x_u))
+
+
 def train_steps_scan(state: state_lib.GANTrainState,
                      x_l: jnp.ndarray, y_l: jnp.ndarray, x_u: jnp.ndarray, *,
                      cfg: AdversarialConfig, g_tx, d_tx,
@@ -184,25 +224,23 @@ def train_steps_scan(state: state_lib.GANTrainState,
                                 Dict[str, jnp.ndarray]]:
     """K alternating G/D updates in ONE compiled program via ``lax.scan``.
 
-    Inputs carry a leading K axis (``x_l [K,B,N,3]`` ...). Amortizes the
-    per-step host dispatch — significant on this platform, where each
-    program launch crosses the device tunnel. Returns per-step metrics
-    stacked along K.
+    Inputs carry a leading K axis (``x_l [K,B,N_src,3]`` ...). Amortizes
+    the per-step host dispatch — significant on this platform, where each
+    program launch crosses the device tunnel (~1.6 ms measured). Returns
+    per-step metrics stacked along K. Driven by the runner's ``--scan K``
+    with K-batch stacked prefetch (``data/loader.py::device_batches``).
     """
-
-    def body(s, batch):
-        xl, yl, xu = batch
-        s, m = _train_step_impl(s, xl, yl, xu, cfg, g_tx, d_tx)
-        return s, m
-
-    return jax.lax.scan(body, state, (x_l, y_l, x_u))
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    return _train_steps_scan_jit(state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx,
+                                 d_tx=d_tx, paths=dispatch.current_paths())
 
 
 def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     rng, k_aug_l, k_aug_u = jax.random.split(state.rng, 3)
-    if cfg.augment:
-        x_l = augment.augment_batch(k_aug_l, x_l)
-        x_u = augment.augment_batch(k_aug_u, x_u)
+    # Fused preprocessing chain (normalize -> resample -> rotate -> jitter
+    # -> dropout), per-stream keys; labeled part labels ride the resample.
+    x_l, y_l = augment.chain_from_cfg(k_aug_l, cfg, x_l, y_l)
+    x_u = augment.chain_from_cfg(k_aug_u, cfg, x_u)
 
     semi_on = (state.step >= cfg.semi_start).astype(jnp.float32)
 

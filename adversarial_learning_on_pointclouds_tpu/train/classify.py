@@ -21,6 +21,7 @@ from adversarial_learning_on_pointclouds_tpu.data import augment
 from adversarial_learning_on_pointclouds_tpu.models import (
     apply_classifier, init_classifier,
 )
+from adversarial_learning_on_pointclouds_tpu.ops import dispatch
 from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
 
 FT_REG_WEIGHT = 0.001  # reference's feature-transform regularizer weight
@@ -42,7 +43,10 @@ def create_state(cfg: ClassifyConfig, steps_per_epoch: int,
 def make_tx(cfg: ClassifyConfig, steps_per_epoch: int):
     return state_lib.make_optimizer(
         cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
-        steps_per_epoch)
+        steps_per_epoch, optimizer=cfg.optimizer,
+        lr_schedule=cfg.lr_schedule,
+        total_steps=cfg.epochs * steps_per_epoch,
+        poly_power=cfg.poly_power)
 
 
 def loss_fn(params, bn_state, points, labels, rng, cfg: ClassifyConfig,
@@ -57,32 +61,48 @@ def loss_fn(params, bn_state, points, labels, rng, cfg: ClassifyConfig,
     return loss, (new_bn, acc)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+def _train_step(state, points, labels, *, cfg: ClassifyConfig, tx, paths):
+    with dispatch.path_context(paths):
+        rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+        points = augment.chain_from_cfg(k_aug, cfg, points)
+        (loss, (new_bn, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, points,
+                                   labels, k_drop, cfg)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state_lib.TrainState(
+            params=new_params, bn_state=new_bn, opt_state=new_opt,
+            step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+
 def train_step(state: state_lib.TrainState, points: jnp.ndarray,
                labels: jnp.ndarray, *, cfg: ClassifyConfig, tx,
                ) -> Tuple[state_lib.TrainState, Dict[str, jnp.ndarray]]:
-    """One fused update: augment -> fwd -> bwd -> Adam. ``points [B,N,3]``."""
-    rng, k_aug, k_drop = jax.random.split(state.rng, 3)
-    if cfg.augment:
-        points = augment.augment_batch(k_aug, points)
-    (loss, (new_bn, acc)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, state.bn_state, points, labels,
-                               k_drop, cfg)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = jax.tree_util.tree_map(
-        lambda p, u: p + u, state.params, updates)
-    new_state = state_lib.TrainState(
-        params=new_params, bn_state=new_bn, opt_state=new_opt,
-        step=state.step + 1, rng=rng)
-    return new_state, {"loss": loss, "acc": acc}
+    """One fused update: preprocess chain -> fwd -> bwd -> Adam.
+    ``points [B,N_src,3]`` (resampled on device to ``cfg.num_points``).
+
+    The trace-time Pallas/bf16 path flags are captured here and threaded
+    into the jit cache key (``dispatch.current_paths``), so toggling the
+    contexts between calls re-traces rather than silently reusing the
+    previously compiled path."""
+    return _train_step(state, points, labels, cfg=cfg, tx=tx,
+                       paths=dispatch.current_paths())
 
 
-@functools.partial(jax.jit, static_argnames=("dropout_rate",))
-def eval_step(params, bn_state, points, labels, dropout_rate: float = 0.3,
-              ) -> Dict[str, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("paths",))
+def _eval_step(params, bn_state, points, labels, paths):
+    with dispatch.path_context(paths):
+        logp, _, _, _ = apply_classifier(params, bn_state, points,
+                                         train=False)
+        pred = jnp.argmax(logp, -1)
+        return {"log_probs": logp, "pred": pred,
+                "correct": jnp.sum(pred == labels)}
+
+
+def eval_step(params, bn_state, points, labels) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward (BN running stats, no dropout) + correctness counts."""
-    del dropout_rate
-    logp, _, _, _ = apply_classifier(params, bn_state, points, train=False)
-    pred = jnp.argmax(logp, -1)
-    return {"log_probs": logp, "pred": pred,
-            "correct": jnp.sum(pred == labels)}
+    return _eval_step(params, bn_state, points, labels,
+                      dispatch.current_paths())

@@ -11,6 +11,7 @@ including the points/sec/chip meter.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from typing import Optional, Tuple
 
@@ -24,6 +25,8 @@ from adversarial_learning_on_pointclouds_tpu.data import (
     ModelNet40, ShapeNetPart, make_synthetic_modelnet_h5,
     make_synthetic_shapenet,
 )
+from adversarial_learning_on_pointclouds_tpu.data import augment as aug_lib
+from adversarial_learning_on_pointclouds_tpu.data import loader
 from adversarial_learning_on_pointclouds_tpu.data.loader import (
     batch_iterator, num_batches,
 )
@@ -44,8 +47,22 @@ from adversarial_learning_on_pointclouds_tpu.utils.logging import MetricLogger
 from adversarial_learning_on_pointclouds_tpu.utils.profiling import maybe_trace
 
 
+def _subsample(points: np.ndarray, num_points: int, seed: int) -> np.ndarray:
+    if points.shape[1] == num_points:
+        return points
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(points.shape[1], num_points,
+                     replace=points.shape[1] < num_points)
+    return points[:, idx]
+
+
 def _modelnet_arrays(cfg) -> Tuple[np.ndarray, np.ndarray,
                                    np.ndarray, np.ndarray]:
+    """Train arrays keep the full source resolution when ``cfg.resample``
+    (the jitted step draws a fresh fixed-N subsample per batch, matching
+    the reference's per-``__getitem__`` ``np.random.choice``); the test
+    split is prepared deterministically on the host — normalize over the
+    full point set, then one seeded subsample."""
     root = cfg.dataset
     if not root:
         root = os.path.join(tempfile.gettempdir(), "pointtpu_modelnet40")
@@ -53,16 +70,14 @@ def _modelnet_arrays(cfg) -> Tuple[np.ndarray, np.ndarray,
             make_synthetic_modelnet_h5(root)
     train, test = ModelNet40(root, "train"), ModelNet40(root, "test")
 
-    def subsample(points):
-        if points.shape[1] == cfg.num_points:
-            return points
-        rng = np.random.default_rng(cfg.seed)
-        idx = rng.choice(points.shape[1], cfg.num_points,
-                         replace=points.shape[1] < cfg.num_points)
-        return points[:, idx]
-
-    return (subsample(train.points), train.labels,
-            subsample(test.points), test.labels)
+    x_tr = train.points
+    if not cfg.resample:
+        x_tr = _subsample(x_tr, cfg.num_points, cfg.seed)
+    x_te = test.points
+    if cfg.normalize:
+        x_te = aug_lib.normalize_unit_sphere_np(x_te)
+    x_te = _subsample(x_te, cfg.num_points, cfg.seed + 1)
+    return x_tr, train.labels, x_te, test.labels
 
 
 def _shapenet_arrays(cfg):
@@ -77,9 +92,16 @@ def _shapenet_arrays(cfg):
         test = ShapeNetPart(root, "test", class_choice=cfg.class_choice)
     except (FileNotFoundError, OSError):
         test = train
-    tr = train.as_arrays(cfg.num_points, seed=cfg.seed)
-    te = test.as_arrays(cfg.num_points, seed=cfg.seed + 1)
-    return tr, te
+    if cfg.resample:
+        # Rectangular pool at (at least) source resolution; the jitted
+        # step resamples fixed-N fresh per batch on device.
+        tr = train.as_pool_arrays(cfg.num_points, seed=cfg.seed)
+    else:
+        tr = train.as_arrays(cfg.num_points, seed=cfg.seed)
+    x_te, s_te, c_te = test.as_arrays(cfg.num_points, seed=cfg.seed + 1)
+    if cfg.normalize:
+        x_te = aug_lib.normalize_unit_sphere_np(x_te)
+    return tr, (x_te, s_te, c_te)
 
 
 def _setup(cfg):
@@ -87,6 +109,13 @@ def _setup(cfg):
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     sharding = batch_sharding(mesh, 3)
     return mesh, n_chips, sharding
+
+
+def _prefetch_depth(cfg) -> int:
+    """``--workers N`` -> host prefetch depth (N batches staged ahead of
+    consumption; the reference's ``num_workers`` analogue). 0 keeps the
+    default double-buffering of 2."""
+    return cfg.workers if cfg.workers > 0 else 2
 
 
 def run_classification(cfg: ClassifyConfig,
@@ -111,7 +140,7 @@ def run_classification(cfg: ClassifyConfig,
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding)):
+                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
                 state, m = classify.train_step(state, pts, lab,
                                                cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,
@@ -147,7 +176,7 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, s_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding)):
+                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
                 state, m = segment.train_step(state, pts, lab, cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,
                                 pts_per_step, n_chips)
@@ -165,7 +194,15 @@ def run_adversarial(cfg: AdversarialConfig,
                     epochs: Optional[int] = None) -> dict:
     """Config 4: mirrors ``upstream:train_adversarial*.py`` — labeled/
     unlabeled split by ``labeled_ratio``, alternating G/D single-jit
-    updates, semi-supervised masked loss."""
+    updates, semi-supervised masked loss.
+
+    Stream semantics follow the reference: one pass over the LABELED split
+    defines an epoch; the unlabeled stream shuffles and cycles
+    independently, its position persisting across epochs (the reference's
+    iterator-reset-on-StopIteration pattern). With ``cfg.scan = K > 1``,
+    K steps fuse into one ``lax.scan`` program fed by K-batch stacked
+    host transfers.
+    """
     epochs = epochs if epochs is not None else cfg.epochs
     (x_tr, s_tr, c_tr), (x_te, s_te, c_te) = _shapenet_arrays(cfg)
     n_lab = max(int(len(x_tr) * cfg.labeled_ratio), cfg.batch_size)
@@ -180,22 +217,46 @@ def run_adversarial(cfg: AdversarialConfig,
     logger = MetricLogger(cfg.out_dir, "adv", quiet=cfg.quiet)
     pts_per_step = 2 * cfg.batch_size * cfg.num_points
     best = 0.0
-    x_unl = x_tr[n_lab:] if len(x_tr) > n_lab + cfg.batch_size else x_tr
+    x_unl = x_tr[n_lab:]
+    if len(x_unl) < cfg.batch_size:
+        print(f"[runner] WARNING: labeled_ratio={cfg.labeled_ratio} leaves "
+              f"{len(x_unl)} unlabeled shapes (<1 batch); cycling the full "
+              "train set (labeled included) as the unlabeled stream",
+              file=sys.stderr)
+        x_unl = x_tr
+    # Infinite unlabeled host stream, created ONCE (position persists
+    # across epochs, like the reference's cycled iterator).
+    unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
+                                             seed=cfg.seed + 1)
+    table: dict = {}
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir):
         for epoch in range(epochs):
-            lab_it = batch_iterator((x_tr[:n_lab], s_tr[:n_lab]),
-                                    cfg.batch_size, seed=cfg.seed,
-                                    epoch=epoch, sharding=sharding)
-            unl_it = batch_iterator((x_unl,), cfg.batch_size,
-                                    seed=cfg.seed + 1, epoch=epoch,
-                                    sharding=sharding)
-            for bi, ((x_l, y_l), (x_u,)) in enumerate(zip(lab_it, unl_it)):
-                state, m = adversarial.train_step(
-                    state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
-                logger.log_step(epoch, bi, spe, int(state.step), m,
-                                pts_per_step, n_chips)
+            lab_host = loader.host_batch_iterator(
+                (x_tr[:n_lab], s_tr[:n_lab]), cfg.batch_size,
+                seed=cfg.seed, epoch=epoch)
+            paired = ((xl, yl, xu) for (xl, yl), (xu,)
+                      in zip(lab_host, unl_stream))
+            bi = 0
+            for batch, stacked in loader.device_batches(
+                    paired, sharding, k_stack=cfg.scan,
+                    prefetch=_prefetch_depth(cfg)):
+                x_l, y_l, x_u = batch
+                if stacked:
+                    state, ms = adversarial.train_steps_scan(
+                        state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx,
+                        d_tx=d_tx)
+                    k = x_l.shape[0]
+                    logger.log_scan_steps(epoch, bi, spe, int(state.step),
+                                          ms, k, pts_per_step, n_chips)
+                    bi += k
+                else:
+                    state, m = adversarial.train_step(
+                        state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                    logger.log_step(epoch, bi, spe, int(state.step), m,
+                                    pts_per_step, n_chips)
+                    bi += 1
             ev, table = eval_lib.evaluate_segmenter(
                 state.g_params, state.g_bn_state, x_te, s_te, c_te,
                 cfg.batch_size)
@@ -228,7 +289,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding)):
+                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
                 state, m = adv_perturb.train_step(state, pts, lab,
                                                   cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,

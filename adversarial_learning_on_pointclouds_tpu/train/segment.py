@@ -20,6 +20,7 @@ from adversarial_learning_on_pointclouds_tpu.data import augment
 from adversarial_learning_on_pointclouds_tpu.models import (
     apply_segmenter, init_segmenter,
 )
+from adversarial_learning_on_pointclouds_tpu.ops import dispatch
 from adversarial_learning_on_pointclouds_tpu.train import state as state_lib
 from adversarial_learning_on_pointclouds_tpu.train.classify import FT_REG_WEIGHT
 from adversarial_learning_on_pointclouds_tpu.utils import metrics
@@ -41,7 +42,10 @@ def create_state(cfg: SegmentConfig, steps_per_epoch: int,
 def make_tx(cfg: SegmentConfig, steps_per_epoch: int):
     return state_lib.make_optimizer(
         cfg.lr, cfg.beta1, cfg.beta2, cfg.lr_step, cfg.lr_gamma,
-        steps_per_epoch)
+        steps_per_epoch, optimizer=cfg.optimizer,
+        lr_schedule=cfg.lr_schedule,
+        total_steps=cfg.epochs * steps_per_epoch,
+        poly_power=cfg.poly_power)
 
 
 def loss_fn(params, bn_state, points, part_labels, cfg: SegmentConfig,
@@ -55,30 +59,46 @@ def loss_fn(params, bn_state, points, part_labels, cfg: SegmentConfig,
     return loss, (new_bn, acc)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+def _train_step(state, points, part_labels, *, cfg: SegmentConfig, tx,
+                paths):
+    with dispatch.path_context(paths):
+        rng, k_aug = jax.random.split(state.rng)
+        points, part_labels = augment.chain_from_cfg(k_aug, cfg, points,
+                                                     part_labels)
+        (loss, (new_bn, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state, points,
+                                   part_labels, cfg)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        return state_lib.TrainState(new_params, new_bn, new_opt,
+                                    state.step + 1, rng), \
+            {"loss": loss, "acc": acc}
+
+
 def train_step(state: state_lib.TrainState, points: jnp.ndarray,
                part_labels: jnp.ndarray, *, cfg: SegmentConfig, tx,
                ) -> Tuple[state_lib.TrainState, Dict[str, jnp.ndarray]]:
-    rng, k_aug = jax.random.split(state.rng)
-    if cfg.augment:
-        points = augment.augment_batch(k_aug, points)
-    (loss, (new_bn, acc)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, state.bn_state, points,
-                               part_labels, cfg)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = jax.tree_util.tree_map(
-        lambda p, u: p + u, state.params, updates)
-    return state_lib.TrainState(new_params, new_bn, new_opt,
-                                state.step + 1, rng), \
-        {"loss": loss, "acc": acc}
+    """One fused update; per-point labels ride the on-device resample
+    gather. Pallas/bf16 path flags are jit-cache-keyed (see classify)."""
+    return _train_step(state, points, part_labels, cfg=cfg, tx=tx,
+                       paths=dispatch.current_paths())
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("paths",))
+def _eval_step(params, bn_state, points, part_labels, categories, paths):
+    with dispatch.path_context(paths):
+        logp, _, _, _ = apply_segmenter(params, bn_state, points,
+                                        train=False)
+        pred = jnp.argmax(logp, -1)
+        ious = metrics.shape_ious_device(pred, part_labels, categories)
+        return {"pred": pred, "ious": ious,
+                "correct": jnp.sum(pred == part_labels)}
+
+
 def eval_step(params, bn_state, points, part_labels, categories,
               ) -> Dict[str, jnp.ndarray]:
     """Eval forward + on-device per-shape IoU (category-restricted)."""
-    logp, _, _, _ = apply_segmenter(params, bn_state, points, train=False)
-    pred = jnp.argmax(logp, -1)
-    ious = metrics.shape_ious_device(pred, part_labels, categories)
-    return {"pred": pred, "ious": ious,
-            "correct": jnp.sum(pred == part_labels)}
+    return _eval_step(params, bn_state, points, part_labels, categories,
+                      dispatch.current_paths())

@@ -39,9 +39,26 @@ class GANTrainState(NamedTuple):
 
 def make_optimizer(lr: float, beta1: float, beta2: float,
                    lr_step_epochs: int, lr_gamma: float,
-                   steps_per_epoch: int) -> optax.GradientTransformation:
-    """Adam + StepLR-equivalent staircase schedule."""
-    if lr_step_epochs > 0 and steps_per_epoch > 0:
+                   steps_per_epoch: int, *,
+                   optimizer: str = "adam", lr_schedule: str = "step",
+                   total_steps: int = 0, poly_power: float = 0.9,
+                   momentum: float = 0.9,
+                   ) -> optax.GradientTransformation:
+    """Optimizer + schedule factory.
+
+    Defaults reproduce the reference lineage: Adam + StepLR-equivalent
+    staircase decay. The Hung et al. arXiv:1802.07934 originals (which
+    the reference adapts) instead use SGD(momentum 0.9) for G and Adam
+    for D, both with POLY decay ``lr * (1 - step/total)^0.9`` — exposed
+    via ``optimizer='sgd'`` / ``lr_schedule='poly'`` since the reference
+    mount is empty and its exact choice is [C]-tier (SURVEY.md §2.6;
+    VERDICT round 1, missing #1).
+    """
+    if lr_schedule == "poly" and total_steps > 0:
+        schedule = optax.polynomial_schedule(
+            init_value=lr, end_value=0.0, power=poly_power,
+            transition_steps=total_steps)
+    elif lr_schedule == "step" and lr_step_epochs > 0 and steps_per_epoch > 0:
         schedule = optax.exponential_decay(
             init_value=lr,
             transition_steps=lr_step_epochs * steps_per_epoch,
@@ -50,6 +67,10 @@ def make_optimizer(lr: float, beta1: float, beta2: float,
         )
     else:
         schedule = lr
+    if optimizer == "sgd":
+        return optax.sgd(schedule, momentum=momentum)
+    if optimizer != "adam":
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     return optax.adam(schedule, b1=beta1, b2=beta2, eps=1e-8)
 
 

@@ -60,6 +60,40 @@ class MetricLogger:
             print(f"[{epoch}: {batch}/{num_batches}] {parts}")
             sys.stdout.flush()
 
+    def log_scan_steps(self, epoch: int, batch0: int, num_batches: int,
+                       step_end: int, metrics: Dict[str, "object"], k: int,
+                       points_per_step: int = 0, num_chips: int = 1) -> None:
+        """Log K steps executed by one fused ``lax.scan`` launch.
+
+        ``metrics`` values carry a leading K axis; one elapsed interval is
+        split evenly over the K rows (the launch is one program)."""
+        now = time.perf_counter()
+        dt = (now - self._step_t0) / max(k, 1)
+        self._step_t0 = now
+        for i in range(k):
+            row = {"epoch": epoch, "batch": batch0 + i,
+                   "step": step_end - k + 1 + i,
+                   "step_time_s": round(dt, 5)}
+            if points_per_step:
+                row["points_per_sec_per_chip"] = round(
+                    points_per_step / dt / num_chips, 1)
+            row.update({kk: float(v[i]) for kk, v in metrics.items()})
+            if self._csv is None:
+                self._csv = csv.DictWriter(self._csv_file,
+                                           fieldnames=row.keys())
+                if self._csv_file.tell() == 0:
+                    self._csv.writeheader()
+            self._csv.writerow(row)
+            if self._tb is not None:
+                for kk, v in row.items():
+                    if kk not in ("epoch", "batch", "step"):
+                        self._tb.add_scalar(kk, v, row["step"])
+            if not self.quiet:
+                parts = " ".join(f"{kk}: {float(v[i]):.6f}"
+                                 for kk, v in metrics.items())
+                print(f"[{epoch}: {batch0 + i}/{num_batches}] {parts}")
+        sys.stdout.flush()
+
     def log_epoch(self, epoch: int, **scalars: float) -> None:
         parts = " ".join(f"{k}: {v:.6f}" for k, v in scalars.items())
         print(f"[epoch {epoch}] {parts}")

@@ -98,11 +98,13 @@ def main() -> None:
                 s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
 
         t0 = time.perf_counter()
+        metrics = None
         for _ in range(args.warmup):
             state, metrics = step(state)
         # Host readback: through the axon tunnel, block_until_ready is not
         # a reliable execution barrier — fetching a value is.
-        float(metrics["loss_g"])
+        if metrics is not None:
+            float(metrics["loss_g"])
         compile_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -59,15 +59,20 @@ def main():
         else:
             x_adv = pts
         logp, _, _, _ = apply_classifier(params, bn_state, x_adv, train=False)
-        return jnp.sum(jnp.argmax(logp, -1) == labels)
+        return jnp.argmax(logp, -1) == labels  # per-example, for masking
 
     for eps in a.epsilons:
         correct = total = 0
-        for pts, lab in batch_iterator((x_te, y_te), cfg.batch_size,
-                                       shuffle=False, drop_last=True):
-            correct += int(attacked_correct(pts, lab, float(eps),
-                                            int(a.pgd_steps)))
-            total += int(np.shape(lab)[0])
+        # drop_last=False + validity mask: cover the whole test set (the
+        # final ragged batch is padded; pad rows are masked out), matching
+        # eval.evaluate_classifier's protocol.
+        for pts, lab, mask in batch_iterator((x_te, y_te), cfg.batch_size,
+                                             shuffle=False, drop_last=False):
+            ok = np.asarray(attacked_correct(pts, lab, float(eps),
+                                             int(a.pgd_steps)))
+            m = np.asarray(mask)
+            correct += int(ok[m].sum())
+            total += int(m.sum())
         kind = f"PGD-{a.pgd_steps}" if a.pgd_steps else "FGSM"
         print(f"eps={eps:<6g} {kind} accuracy: {correct / max(total, 1):.4f}")
 

@@ -15,12 +15,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+
+def _tpu_mode() -> bool:
+    """True when the run targets the real chip: ``pytest tests -m tpu``
+    (or POINTTPU_TPU_TESTS=1). Then the platform is left alone so the
+    ``tpu``-marked compiled-kernel parity suite runs on hardware; every
+    other invocation is forced onto the emulated 8-device CPU mesh."""
+    if os.environ.get("POINTTPU_TPU_TESTS") == "1":
+        return True
+    argv = sys.argv
+    for i, a in enumerate(argv):
+        if a == "-m" and i + 1 < len(argv) and "tpu" in argv[i + 1]:
+            return True
+        if a.startswith("-m") and "tpu" in a:
+            return True
+    return False
+
+
+TPU_MODE = _tpu_mode()
+
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: compiled-kernel parity checks that need the real TPU chip "
+        "(run with `pytest tests -m tpu`; auto-skipped on CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_MODE:
+        return
+    skip_tpu = pytest.mark.skip(
+        reason="needs the real TPU chip (run `pytest tests -m tpu`)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
 
 
 @pytest.fixture(scope="session")
