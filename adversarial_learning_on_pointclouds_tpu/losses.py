@@ -18,6 +18,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _pick_class(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """``log_probs[..., labels]`` via a one-hot contraction.
+
+    ``jnp.take_along_axis`` over the class dim lowers to a gather whose
+    backward is a scatter-add — measured 0.69 ms EACH at [32,2048,50] on
+    v5e (~9% of the whole G+D step for the two of them). The one-hot
+    multiply+reduce is a fused elementwise op instead, and is bit-exact
+    (the zero terms add exactly nothing).
+    """
+    one_hot = jax.nn.one_hot(labels, log_probs.shape[-1],
+                             dtype=log_probs.dtype)
+    return jnp.sum(log_probs * one_hot, axis=-1)
+
+
 def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean negative log-likelihood. ``log_probs [..., k]``, ``labels [...]``.
 
@@ -25,8 +39,7 @@ def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     segmentation (``[B, N, k]``) exactly like torch ``NLLLoss`` with mean
     reduction over all leading axes.
     """
-    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)
-    return -jnp.mean(picked)
+    return -jnp.mean(_pick_class(log_probs, labels))
 
 
 cross_entropy = nll_loss
@@ -92,6 +105,6 @@ def semi_loss(log_probs: jnp.ndarray, d_logits: jnp.ndarray,
     pseudo = jax.lax.stop_gradient(jnp.argmax(log_probs, axis=-1))
     mask = jax.lax.stop_gradient(
         (jax.nn.sigmoid(d_logits[..., 0]) > threshold).astype(log_probs.dtype))
-    picked = jnp.take_along_axis(log_probs, pseudo[..., None], axis=-1)[..., 0]
+    picked = _pick_class(log_probs, pseudo)
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return -jnp.sum(picked * mask) / denom

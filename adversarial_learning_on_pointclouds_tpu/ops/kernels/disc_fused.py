@@ -271,6 +271,114 @@ def apply_frozen(params, prob_map: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Detached-input (dW-only) backward: the D step's inputs carry no gradient
+# (fake maps are stop_gradient'ed, real maps are one-hot data), so the dx
+# chain — one third of the backward FLOPs plus a [B,N,k] HBM write — is
+# pure waste there. XLA cannot DCE it out of an opaque custom call, so
+# these kernels simply never compute it (profiled 1.47 + 0.74 ms/step of
+# wasted dx at bench shapes before this existed).
+# ---------------------------------------------------------------------------
+
+def _bwd_dw_kernel(x_ref, g_ref, *refs):
+    """Like ``_bwd_kernel`` but dW/db only — no dx write, and the i=0
+    ``dz @ W^T`` hop is skipped entirely."""
+    w = [refs[i] for i in range(_N_LAYERS)]
+    b = [refs[_N_LAYERS + i] for i in range(_N_LAYERS)]
+    dw_refs = [refs[2 * _N_LAYERS + i] for i in range(_N_LAYERS)]
+    db_refs = [refs[3 * _N_LAYERS + i] for i in range(_N_LAYERS)]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        for r in dw_refs + db_refs:
+            r[...] = jnp.zeros_like(r)
+
+    hs = [x_ref[0]]
+    for i in range(_N_LAYERS - 1):
+        z = _mxu_dot(hs[-1], w[i][...]) + b[i][...]
+        hs.append(_leaky(z))
+    dh = g_ref[0].astype(jnp.float32)
+    for i in reversed(range(_N_LAYERS)):
+        dz = dh if i == _N_LAYERS - 1 else dh * _dleaky_from_h(hs[i + 1])
+        dw_refs[i][...] += _mxu_dot_t(hs[i], dz).astype(dw_refs[i].dtype)
+        db_refs[i][...] += jnp.sum(dz, axis=0, keepdims=True
+                                   ).astype(db_refs[i].dtype)
+        if i > 0:  # no dx: the chain stops after the first hidden layer
+            dh = _mxu_dot(dz, w[i][...].T)
+
+
+def _bwd_dw_call(x, g, weights, biases):
+    bsz, n, c_in = x.shape
+    tn = _tile_n(n, cap=256)
+    in_specs = [
+        pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, g]
+    for wgt in weights:
+        in_specs.append(pl.BlockSpec(wgt.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wgt)
+    for bia in biases:
+        bb = bia.reshape(1, -1)
+        in_specs.append(pl.BlockSpec(bb.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bb)
+    out_shape, out_specs = [], []
+    for wgt in weights:
+        out_shape.append(jax.ShapeDtypeStruct(wgt.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(wgt.shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for bia in biases:
+        out_shape.append(jax.ShapeDtypeStruct((1, bia.shape[-1]),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bia.shape[-1]),
+                                      lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        _bwd_dw_kernel,
+        grid=(bsz, n // tn),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*operands)
+    dws = list(outs[:_N_LAYERS])
+    dbs = [o.reshape(-1) for o in outs[_N_LAYERS:]]
+    return dws, dbs
+
+
+@jax.custom_vjp
+def disc_forward_detached(x, weights, biases):
+    """Fused D forward for a DETACHED input: the backward computes dW/db
+    only and returns a zero input-cotangent. Callers must guarantee the
+    input carries no gradient (one-hot ground truth, stop_gradient'ed
+    predictions) — the D-step usage."""
+    return _fwd_call(x, weights, biases)
+
+
+def _dfd_fwd(x, weights, biases):
+    return _fwd_call(x, weights, biases), (x, weights, biases)
+
+
+def _dfd_bwd(res, g):
+    x, weights, biases = res
+    dws, dbs = _bwd_dw_call(x, g, weights, biases)
+    return jnp.zeros_like(x), tuple(dws), tuple(dbs)
+
+
+disc_forward_detached.defvjp(_dfd_fwd, _dfd_bwd)
+
+
+def apply_detached(params, prob_map: jnp.ndarray) -> jnp.ndarray:
+    names = [f"conv{i}" for i in range(1, 6)]
+    return disc_forward_detached(prob_map,
+                                 tuple(params[n]["w"] for n in names),
+                                 tuple(params[n]["b"] for n in names))
+
+
+# ---------------------------------------------------------------------------
 # Known-logits variant: skip the redundant fake-forward in the D step.
 # ---------------------------------------------------------------------------
 
@@ -278,9 +386,11 @@ def apply_frozen(params, prob_map: jnp.ndarray) -> jnp.ndarray:
 def disc_with_known_logits(x, logits, weights, biases):
     """Returns ``logits`` (already computed by the G step on the SAME
     inputs and the SAME pre-update D parameters) while installing the
-    full fused backward from ``x``. The D step thereby skips the
+    fused dW/db backward from ``x``. The D step thereby skips the
     redundant fake forward; its backward recomputes activations from
-    ``x`` exactly like ``disc_forward``'s."""
+    ``x``. The input must be DETACHED (the D-step contract): its
+    cotangent is returned as zeros, and the dx chain is never computed
+    (see the dW-only kernel above)."""
     del x, weights, biases
     return logits
 
@@ -291,8 +401,8 @@ def _dkl_fwd(x, logits, weights, biases):
 
 def _dkl_bwd(res, g):
     x, weights, biases = res
-    dx, dws, dbs = _bwd_call(x, g, weights, biases)
-    return dx, jnp.zeros_like(g), tuple(dws), tuple(dbs)
+    dws, dbs = _bwd_dw_call(x, g, weights, biases)
+    return jnp.zeros_like(x), jnp.zeros_like(g), tuple(dws), tuple(dbs)
 
 
 disc_with_known_logits.defvjp(_dkl_fwd, _dkl_bwd)

@@ -173,7 +173,8 @@ def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int,
         fake = jnp.concatenate([probs_l, probs_u], axis=0)
         d_fake = disc_fused.apply_with_known_logits(
             d_params, fake, fake_logits)
-        d_real = apply_discriminator(d_params, real)
+        # real is one-hot DATA: dW-only backward (no wasted dx chain).
+        d_real = disc_fused.apply_detached(d_params, real)
     else:
         stacked = jnp.concatenate([probs_l, probs_u, real], axis=0)
         d_all = apply_discriminator(d_params, stacked)

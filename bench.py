@@ -36,6 +36,9 @@ def main() -> None:
                    help="strict fp32 (HIGHEST) numerics — the torch-parity "
                         "mode; default is standard TPU bf16 mixed precision")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--fused_forward", action="store_true",
+                   help="one combined G fwd / D pass over [labeled; "
+                        "unlabeled] (BN stats over the combined 2B batch)")
     p.add_argument("--scan", type=int, default=0,
                    help="fuse K steps per program launch via lax.scan "
                         "(amortizes dispatch; 0 = one step per launch)")
@@ -66,7 +69,7 @@ def main() -> None:
     cfg = AdversarialConfig(batch_size=args.batch, num_points=args.points,
                             feature_transform=True, augment=True,
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
-                            remat=args.remat)
+                            remat=args.remat, fused_forward=args.fused_forward)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
     rng = np.random.default_rng(0)

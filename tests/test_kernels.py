@@ -524,3 +524,24 @@ def test_fused_training_kernels_odd_point_count(rng_key):
             apply_segmenter(p, state, x, train=True)[0], labels))(params)
     assert all(bool(jnp.all(jnp.isfinite(l)))
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_disc_detached_dw_matches_full_bwd(rng_key):
+    """dW/db from the detached (dW-only) variant == the full backward's;
+    the input cotangent is zero by contract (the D step's inputs are
+    one-hot data / stop_gradient'ed predictions)."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import disc_fused
+
+    params = init_discriminator(rng_key, 50)
+    probs = jax.nn.softmax(_rand(4, (B, N, 50)), -1)
+
+    gp_full = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        disc_fused.apply(p, probs))))(params)
+    gp_dw = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        disc_fused.apply_detached(p, probs))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_dw),
+                    jax.tree_util.tree_leaves(gp_full)):
+        _close(a, b, rtol=1e-5)
+    gx = jax.grad(lambda x: jnp.sum(jnp.tanh(
+        disc_fused.apply_detached(params, x))))(probs)
+    np.testing.assert_array_equal(np.asarray(gx), 0.0)
