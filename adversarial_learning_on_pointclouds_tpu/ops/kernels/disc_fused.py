@@ -85,7 +85,7 @@ def _bwd_kernel(x_ref, g_ref, *refs):
 
 def _fwd_call(x, weights, biases):
     bsz, n, _ = x.shape
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     in_specs = [pl.BlockSpec((1, tn, x.shape[-1]), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)]
     operands = [x]
@@ -111,7 +111,7 @@ def _fwd_call(x, weights, biases):
 
 def _bwd_call(x, g, weights, biases):
     bsz, n, c_in = x.shape
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     in_specs = [
         pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -209,7 +209,7 @@ def _bwd_dx_kernel(x_ref, g_ref, *refs):
 
 def _bwd_dx_call(x, g, weights, biases):
     bsz, n, c_in = x.shape
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     in_specs = [
         pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -308,7 +308,7 @@ def _bwd_dw_kernel(x_ref, g_ref, *refs):
 
 def _bwd_dw_call(x, g, weights, biases):
     bsz, n, c_in = x.shape
-    tn = _tile_n(n, cap=256)
+    tn = _tile_n(n, cap=512)
     in_specs = [
         pl.BlockSpec((1, tn, c_in), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),

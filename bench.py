@@ -39,9 +39,10 @@ def main() -> None:
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G fwd / D pass over [labeled; "
                         "unlabeled] (BN stats over the combined 2B batch)")
-    p.add_argument("--scan", type=int, default=0,
+    p.add_argument("--scan", type=int, default=8,
                    help="fuse K steps per program launch via lax.scan "
-                        "(amortizes dispatch; 0 = one step per launch)")
+                        "(amortizes dispatch; the runner's --scan mode; "
+                        "0 = one step per launch)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -86,11 +87,15 @@ def main() -> None:
             mixed_precision(enabled=cfg.bf16):
         state = adversarial.create_state(cfg, 100)
         if args.scan > 0:
-            import jax.numpy as jnp
+            # K DISTINCT batches per launch, exactly like the runner's
+            # --scan mode with K-batch stacked transfers.
             k = args.scan
-            xlk = jnp.broadcast_to(x_l, (k, *x_l.shape))
-            ylk = jnp.broadcast_to(y_l, (k, *y_l.shape))
-            xuk = jnp.broadcast_to(x_u, (k, *x_u.shape))
+            xlk = jax.device_put(rng.standard_normal(
+                (k, args.batch, args.points, 3)).astype(np.float32))
+            ylk = jax.device_put(rng.integers(
+                0, 50, (k, args.batch, args.points)).astype(np.int32))
+            xuk = jax.device_put(rng.standard_normal(
+                (k, args.batch, args.points, 3)).astype(np.float32))
 
             def step(s):  # K fused steps per launch
                 s, ms = adversarial.train_steps_scan(
