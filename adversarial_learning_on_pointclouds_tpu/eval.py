@@ -23,14 +23,20 @@ def evaluate_classifier(params, bn_state, points: np.ndarray,
                         labels: np.ndarray, batch_size: int = 32,
                         num_classes: int = 40) -> Dict[str, float]:
     """Returns overall accuracy and average per-class accuracy."""
-    preds, gts = [], []
+    # Device outputs are materialized AFTER the loop: every batch's
+    # forward is enqueued back-to-back and the host<->device round trips
+    # (expensive through a tunneled chip) overlap the compute instead of
+    # serializing it.
+    pending = []
     for batch in batch_iterator((points, labels), batch_size,
                                 shuffle=False, drop_last=False):
         pts, lab = batch[0], batch[1]
         mask = np.asarray(batch[2]) if len(batch) == 3 else None
         out = classify.eval_step(params, bn_state, pts, lab)
-        p = np.asarray(out["pred"])
-        l_ = np.asarray(lab)
+        pending.append((out["pred"], lab, mask))
+    preds, gts = [], []
+    for p_dev, lab, mask in pending:
+        p, l_ = np.asarray(p_dev), np.asarray(lab)
         if mask is not None:
             p, l_ = p[mask], l_[mask]
         preds.append(p)
@@ -47,12 +53,17 @@ def evaluate_segmenter(params, bn_state, points: np.ndarray,
                        batch_size: int = 32,
                        ) -> Tuple[Dict[str, float], Dict[str, float]]:
     """Returns (summary, per-category mIoU table)."""
-    ious, accs, preds, gts, cats = [], [], [], [], []
+    # Same deferred-readback pipelining as evaluate_classifier: enqueue
+    # every batch's forward first, materialize afterwards.
+    pending = []
     for batch in batch_iterator((points, part_labels, categories),
                                 batch_size, shuffle=False, drop_last=False):
         pts, lab, cat = batch[0], batch[1], batch[2]
         mask = np.asarray(batch[3]) if len(batch) == 4 else None
         out = segment.eval_step(params, bn_state, pts, lab, cat)
+        pending.append((out, lab, cat, mask))
+    ious, accs, preds, gts, cats = [], [], [], [], []
+    for out, lab, cat, mask in pending:
         iou = np.asarray(out["ious"])
         pred = np.asarray(out["pred"])
         labn, catn = np.asarray(lab), np.asarray(cat)

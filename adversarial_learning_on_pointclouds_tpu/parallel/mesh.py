@@ -36,9 +36,36 @@ def make_mesh(num_devices: int = 0,
     return Mesh(grid, ("data", "model"))
 
 
+def make_multihost_mesh(num_hosts: int, chips_per_host: int,
+                        devices: Optional[Sequence[jax.Device]] = None
+                        ) -> Mesh:
+    """2-D ``('dcn', 'ici')`` mesh modeling a multi-host slice.
+
+    The host axis is OUTERMOST so that, on real hardware where
+    ``jax.devices()`` orders devices host-major, each mesh row is one
+    host's chips: collectives along ``'ici'`` stay on-chip interconnect
+    and only the (small, latency-tolerant) cross-host reduction rides
+    DCN. DP batch sharding uses BOTH axes — ``P(('dcn', 'ici'))`` — so
+    the SPMD partitioner emits a hierarchical allreduce (intra-host over
+    ICI, then inter-host over DCN). Same jitted program as the 1-D
+    ``('data',)`` mesh; only the mesh + PartitionSpec change
+    (SURVEY.md §2.8).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    devs = devs[: num_hosts * chips_per_host]
+    grid = np.asarray(devs).reshape(num_hosts, chips_per_host)
+    return Mesh(grid, ("dcn", "ici"))
+
+
+def _data_axes(mesh: Mesh):
+    """The mesh axes a batch shards over: ``'data'`` on the 1-D DP mesh,
+    ``('dcn', 'ici')`` on the multi-host mesh."""
+    return ("dcn", "ici") if "dcn" in mesh.shape else "data"
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
-    """Shard the leading (batch) axis over ``'data'``; rest replicated."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axes; rest replicated."""
+    return NamedSharding(mesh, P(_data_axes(mesh), *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

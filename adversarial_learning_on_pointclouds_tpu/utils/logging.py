@@ -9,6 +9,7 @@ points/sec/chip meter (``BASELINE.json:2``).
 
 from __future__ import annotations
 
+import collections
 import csv
 import os
 import sys
@@ -17,10 +18,23 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
+    """``lag`` defers metric device->host readbacks: ``log_step`` enqueues
+    the step's (still on-device) metric scalars and only materializes
+    (``float()``) a row once ``lag`` newer steps have been enqueued, so the
+    blocking readback of step N overlaps steps N+1..N+lag already executing
+    on the device. Per-step readbacks otherwise serialize the pipeline —
+    each ``float()`` pays a full host<->device round trip (severe through a
+    tunneled chip) while the device sits idle. Rows print/append in order,
+    just ``lag`` steps late; ``lag=0`` restores strictly-synchronous
+    per-batch prints (the reference's behavior)."""
+
     def __init__(self, out_dir: str, run_name: str = "train",
-                 quiet: bool = False, tensorboard: bool = False):
+                 quiet: bool = False, tensorboard: bool = False,
+                 lag: int = 2):
         os.makedirs(out_dir, exist_ok=True)
         self.quiet = quiet
+        self.lag = max(int(lag), 0)
+        self._pending: collections.deque = collections.deque()
         self.csv_path = os.path.join(out_dir, f"{run_name}_metrics.csv")
         self._csv_file = open(self.csv_path, "a", newline="")
         self._csv: Optional[csv.DictWriter] = None
@@ -33,17 +47,7 @@ class MetricLogger:
                 self._tb = None
         self._step_t0 = time.perf_counter()
 
-    def log_step(self, epoch: int, batch: int, num_batches: int, step: int,
-                 metrics: Dict[str, float], points_per_step: int = 0,
-                 num_chips: int = 1) -> None:
-        now = time.perf_counter()
-        dt = now - self._step_t0
-        self._step_t0 = now
-        row = {"epoch": epoch, "batch": batch, "step": step,
-               "step_time_s": round(dt, 5)}
-        if points_per_step:
-            row["points_per_sec_per_chip"] = round(
-                points_per_step / dt / num_chips, 1)
+    def _emit(self, row, metrics, header: str) -> None:
         row.update({k: float(v) for k, v in metrics.items()})
         if self._csv is None:
             self._csv = csv.DictWriter(self._csv_file, fieldnames=row.keys())
@@ -53,12 +57,34 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in row.items():
                 if k not in ("epoch", "batch", "step"):
-                    self._tb.add_scalar(k, v, step)
+                    self._tb.add_scalar(k, v, row["step"])
         if not self.quiet:
             parts = " ".join(f"{k}: {float(v):.6f}"
                              for k, v in metrics.items())
-            print(f"[{epoch}: {batch}/{num_batches}] {parts}")
+            print(f"{header} {parts}")
             sys.stdout.flush()
+
+    def _drain(self, keep: int) -> None:
+        while len(self._pending) > keep:
+            self._emit(*self._pending.popleft())
+
+    def log_step(self, epoch: int, batch: int, num_batches: int, step: int,
+                 metrics: Dict[str, float], points_per_step: int = 0,
+                 num_chips: int = 1) -> None:
+        now = time.perf_counter()
+        dt = now - self._step_t0
+        self._step_t0 = now
+        # NB with lag > 0 the interval is enqueue-to-enqueue; under a
+        # saturated device pipeline that still equals the steady-state
+        # per-step wall time.
+        row = {"epoch": epoch, "batch": batch, "step": step,
+               "step_time_s": round(dt, 5)}
+        if points_per_step:
+            row["points_per_sec_per_chip"] = round(
+                points_per_step / dt / num_chips, 1)
+        self._pending.append((row, dict(metrics),
+                              f"[{epoch}: {batch}/{num_batches}]"))
+        self._drain(self.lag)
 
     def log_scan_steps(self, epoch: int, batch0: int, num_batches: int,
                        step_end: int, metrics: Dict[str, "object"], k: int,
@@ -77,24 +103,14 @@ class MetricLogger:
             if points_per_step:
                 row["points_per_sec_per_chip"] = round(
                     points_per_step / dt / num_chips, 1)
-            row.update({kk: float(v[i]) for kk, v in metrics.items()})
-            if self._csv is None:
-                self._csv = csv.DictWriter(self._csv_file,
-                                           fieldnames=row.keys())
-                if self._csv_file.tell() == 0:
-                    self._csv.writeheader()
-            self._csv.writerow(row)
-            if self._tb is not None:
-                for kk, v in row.items():
-                    if kk not in ("epoch", "batch", "step"):
-                        self._tb.add_scalar(kk, v, row["step"])
-            if not self.quiet:
-                parts = " ".join(f"{kk}: {float(v[i]):.6f}"
-                                 for kk, v in metrics.items())
-                print(f"[{epoch}: {batch0 + i}/{num_batches}] {parts}")
-        sys.stdout.flush()
+            self._pending.append(
+                ({**row}, {kk: v[i] for kk, v in metrics.items()},
+                 f"[{epoch}: {batch0 + i}/{num_batches}]"))
+        # One scan launch counts as one pipeline slot regardless of K.
+        self._drain(self.lag * max(k, 1))
 
     def log_epoch(self, epoch: int, **scalars: float) -> None:
+        self._drain(0)
         parts = " ".join(f"{k}: {v:.6f}" for k, v in scalars.items())
         print(f"[epoch {epoch}] {parts}")
         if self._tb is not None:
@@ -103,6 +119,7 @@ class MetricLogger:
         sys.stdout.flush()
 
     def close(self) -> None:
+        self._drain(0)
         self._csv_file.close()
         if self._tb is not None:
             self._tb.close()

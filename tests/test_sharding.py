@@ -166,6 +166,71 @@ def test_adversarial_dp_full_step_runs_sharded(mesh):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_multihost_mesh_dp_equivalence(mesh):
+    """Simulated 2-host x 4-chip slice (ROADMAP #6, SURVEY.md §2.8).
+
+    The ``('dcn', 'ici')`` mesh shards the batch over BOTH axes; the
+    hierarchical allreduce (intra-host ICI, inter-host DCN) the SPMD
+    partitioner emits must reproduce the single-device step's loss and
+    global-batch BN statistics — no code change vs the 1-D mesh, mesh +
+    PartitionSpec only.
+    """
+    from adversarial_learning_on_pointclouds_tpu.parallel import (
+        make_multihost_mesh,
+    )
+
+    mh = make_multihost_mesh(num_hosts=2, chips_per_host=4)
+    assert mh.shape["dcn"] == 2 and mh.shape["ici"] == 4
+
+    cfg = ClassifyConfig(num_classes=4, batch_size=B, num_points=N)
+    tx = classify.make_tx(cfg, 1)
+    state = classify.create_state(cfg, 1)
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((B, N, 3)).astype(np.float32)
+    labels = (np.arange(B) % 4).astype(np.int32)
+
+    s1, m1 = classify.train_step(state, jnp.asarray(pts),
+                                 jnp.asarray(labels), cfg=cfg, tx=tx)
+    xs = jax.device_put(pts, batch_sharding(mh, 3))
+    assert xs.addressable_shards[0].data.shape == (B // 8, N, 3)
+    ls = jax.device_put(labels, batch_sharding(mh, 1))
+    state_r = replicate_tree(mh, state)
+    s8, m8 = classify.train_step(state_r, xs, ls, cfg=cfg, tx=tx)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    _grad_close(s1.bn_state, s8.bn_state, rtol=1e-5)
+
+
+def test_multihost_adversarial_step_runs(mesh):
+    """Full G+D jitted step on the simulated 2x4 multi-host mesh: executes,
+    metrics finite, params stay replicated across all 8 devices."""
+    from adversarial_learning_on_pointclouds_tpu.parallel import (
+        make_multihost_mesh,
+    )
+    from adversarial_learning_on_pointclouds_tpu.parallel.mesh import (
+        shard_batch as _shard,
+    )
+
+    mh = make_multihost_mesh(num_hosts=2, chips_per_host=4)
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                            feature_transform=False)
+    g_tx, d_tx = adversarial.make_txs(cfg, 1)
+    state = replicate_tree(mh, adversarial.create_state(cfg, 1))
+    rng = np.random.default_rng(1)
+    x_l, y_l, x_u = _shard(mh, (
+        rng.standard_normal((B, N, 3)).astype(np.float32),
+        rng.integers(0, 50, (B, N)).astype(np.int32),
+        rng.standard_normal((B, N, 3)).astype(np.float32)))
+    new_state, m = adversarial.train_step(state, x_l, y_l, x_u,
+                                          cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == 8
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_point_axis_sharding(mesh):
     """SP analogue (SURVEY.md §5 long-context): shard the POINT axis.
 

@@ -44,6 +44,33 @@ def test_metric_logger_csv(tmp_path):
     assert float(rows[1]["points_per_sec_per_chip"]) > 0
 
 
+def test_metric_logger_lag_defers_then_flushes(tmp_path):
+    """With lag=2, readback/rows trail 2 steps behind; log_epoch/close
+    drain the queue so no row is ever lost (pipeline-overlap contract)."""
+
+    class Tracked:
+        """Scalar that records when it is materialized."""
+        def __init__(self, v, sink):
+            self.v, self.sink = v, sink
+
+        def __float__(self):
+            self.sink.append(self.v)
+            return float(self.v)
+
+    seen = []
+    lg = MetricLogger(str(tmp_path), "lagrun", quiet=True, lag=2)
+    for step in range(4):
+        lg.log_step(0, step, 4, step, {"loss": Tracked(step, seen)})
+        # After enqueueing step k, at most k-1 older rows materialized.
+        assert len(seen) == max(step - 1, 0)
+    lg.log_epoch(0, accuracy=1.0)  # drains the 2 pending rows
+    assert seen == [0, 1, 2, 3]
+    lg.close()
+    with open(tmp_path / "lagrun_metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [float(r["loss"]) for r in rows] == [0.0, 1.0, 2.0, 3.0]
+
+
 def test_debug_nans_context():
     prev = jax.config.jax_debug_nans
     with debug_nans(True):
