@@ -75,6 +75,12 @@ class BaseConfig:
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
     quiet: bool = False           # --quiet (stdout parity mode)
     workers: int = 0              # --workers (host prefetch threads)
+    device_data: bool = True      # stage the train pools in device HBM
+                                  #   once and gather batches on device
+                                  #   (host sends [B] index vectors only);
+                                  #   --host_data streams assembled
+                                  #   batches from the host instead
+                                  #   (the reference DataLoader model)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +194,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
     p.add_argument("--workers", type=int, default=0, help="host loader threads")
+    p.add_argument("--host_data", action="store_true",
+                   help="stream assembled batches from the host (the "
+                        "reference DataLoader model) instead of the "
+                        "default device-resident pools + on-device "
+                        "batch gather ([B] index transfers only)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="DP mesh size (0 = all visible devices)")
 
@@ -217,6 +228,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         profile_dir=a.profile_dir,
         quiet=a.quiet,
         workers=a.workers,
+        device_data=not a.host_data,
         num_devices=a.num_devices,
     )
 

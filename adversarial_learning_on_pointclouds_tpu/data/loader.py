@@ -79,6 +79,38 @@ def cycling_host_batches(arrays: Sequence[np.ndarray], batch_size: int,
         pass_idx += 1
 
 
+def host_index_iterator(n: int, batch_size: int, shuffle: bool = True,
+                        drop_last: bool = True, seed: int = 0,
+                        epoch: int = 0) -> Iterator[np.ndarray]:
+    """Index-only twin of ``host_batch_iterator``: yields the SAME
+    ``[batch_size]`` index batches (same permutation stream) without
+    gathering rows on the host — for the device-resident data path, where
+    the gather happens inside the jitted step and only these int32
+    vectors cross the host->device link."""
+    n_ = int(n)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n_) if shuffle else np.arange(n_)
+    for start in range(0, n_, batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            idx = np.concatenate(
+                [idx, np.zeros(batch_size - len(idx), idx.dtype)])
+        yield idx.astype(np.int32)
+
+
+def cycling_host_indices(n: int, batch_size: int, seed: int = 0,
+                         start_epoch: int = 0) -> Iterator[np.ndarray]:
+    """Index-only twin of ``cycling_host_batches`` (same index stream)."""
+    pass_idx = start_epoch
+    while True:
+        yield from host_index_iterator(n, batch_size, shuffle=True,
+                                       drop_last=True, seed=seed,
+                                       epoch=pass_idx)
+        pass_idx += 1
+
+
 def device_batches(host_batches: Iterable[Tuple[np.ndarray, ...]],
                    sharding: Optional[jax.sharding.Sharding] = None,
                    k_stack: int = 0, prefetch: int = 2,

@@ -19,6 +19,65 @@ from adversarial_learning_on_pointclouds_tpu.train import classify, segment
 from adversarial_learning_on_pointclouds_tpu.utils import metrics
 
 
+def _eval_indices(n: int, batch_size: int):
+    """Sequential batch index plan for a device-resident test pool:
+    ``[S, B]`` int32 rows covering 0..n-1 in order (final batch padded by
+    wrapping) + the flat validity mask selecting the first n outputs —
+    the device twin of ``batch_iterator(shuffle=False, drop_last=False)``'s
+    pad+mask protocol."""
+    s = -(-n // batch_size)
+    flat = np.arange(s * batch_size) % n
+    mask = np.arange(s * batch_size) < n
+    return flat.reshape(s, batch_size).astype(np.int32), mask
+
+
+def evaluate_classifier_device(params, bn_state, pool_x, labels: np.ndarray,
+                               batch_size: int = 32, num_classes: int = 40,
+                               ) -> Dict[str, float]:
+    """``evaluate_classifier`` against a DEVICE-RESIDENT test pool: the
+    whole test pass runs as one compiled scan (``classify.eval_scan``) —
+    one dispatch + one [S*B] readback per eval. Same protocol/results as
+    the host-loop path (tests pin equality)."""
+    idx, mask = _eval_indices(len(labels), batch_size)
+    preds = classify.eval_scan(params, bn_state, pool_x, idx)
+    pred = np.asarray(preds).reshape(-1)[mask]
+    overall, avg_class = metrics.class_accuracies(pred, labels, num_classes)
+    return {"accuracy": overall, "avg_class_accuracy": avg_class,
+            "num_examples": float(len(labels))}
+
+
+def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
+                              part_labels: np.ndarray,
+                              categories: np.ndarray, batch_size: int = 32,
+                              ) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """``evaluate_segmenter`` against device-resident test pools via one
+    compiled scan (``segment.eval_scan``). ``part_labels``/``categories``
+    are the host copies used for the accuracy/per-category table."""
+    n = len(part_labels)
+    idx, mask = _eval_indices(n, batch_size)
+    outs = segment.eval_scan(params, bn_state, pool_x, pool_s, pool_c, idx)
+    npts = part_labels.shape[-1]
+    pred = np.asarray(outs["pred"]).reshape(-1, npts)[mask]
+    iou_all = np.asarray(outs["ious"]).reshape(-1)[mask]
+    summary = {
+        "instance_miou": float(iou_all.mean()),
+        "point_accuracy": float((pred == part_labels).mean()),
+        "num_shapes": float(n),
+    }
+    table = metrics.category_miou(pred, part_labels, categories)
+    return summary, table
+
+
+def _fetch_async(out) -> None:
+    """Start non-blocking device->host copies of an eval step's outputs so
+    the end-of-loop ``np.asarray`` materializations find them host-resident
+    (a blocking readback pays a full tunnel round trip per array)."""
+    for v in out.values():
+        fetch = getattr(v, "copy_to_host_async", None)
+        if fetch is not None:
+            fetch()
+
+
 def evaluate_classifier(params, bn_state, points: np.ndarray,
                         labels: np.ndarray, batch_size: int = 32,
                         num_classes: int = 40) -> Dict[str, float]:
@@ -33,6 +92,7 @@ def evaluate_classifier(params, bn_state, points: np.ndarray,
         pts, lab = batch[0], batch[1]
         mask = np.asarray(batch[2]) if len(batch) == 3 else None
         out = classify.eval_step(params, bn_state, pts, lab)
+        _fetch_async(out)
         pending.append((out["pred"], lab, mask))
     preds, gts = [], []
     for p_dev, lab, mask in pending:
@@ -61,6 +121,7 @@ def evaluate_segmenter(params, bn_state, points: np.ndarray,
         pts, lab, cat = batch[0], batch[1], batch[2]
         mask = np.asarray(batch[3]) if len(batch) == 4 else None
         out = segment.eval_step(params, bn_state, pts, lab, cat)
+        _fetch_async(out)
         pending.append((out, lab, cat, mask))
     ious, accs, preds, gts, cats = [], [], [], [], []
     for out, lab, cat, mask in pending:

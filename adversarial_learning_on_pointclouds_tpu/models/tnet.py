@@ -92,10 +92,44 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
                 params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
                 train=train, act="relu")
         h = ops.max_points(h)  # [B, 1024] symmetric pool
-    for i in range(1, 3):
-        h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(
-            params[f"fc{i}"], params[f"bn_fc{i}"], state[f"bn_fc{i}"], h,
-            train=train, act="relu")
-    h = core.dense(params["fc3"], h)
+    if train and ops.pallas_train_enabled():
+        # The whole fc head — fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on
+        # [B, 1024] — as ONE fused forward / ONE fused backward kernel.
+        # Measured SLOWER than the XLA layerwise chain on v5e (STNkd head
+        # 2.83 vs 1.79 ms isolated fwd+bwd; the [32,256]@[256,4096] fc3
+        # schedules worse as one in-kernel dot), so like the per-layer
+        # training matmuls it is opt-in via use_pallas(training=True);
+        # parity is pinned by test_fc_head_train_kernel_parity.
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            fc_head_train,
+        )
+        h, mu1, v1, mu2, v2 = fc_head_train.fc_head_train(
+            h,
+            params["fc1"]["w"], params["fc1"]["b"],
+            params["bn_fc1"]["scale"], params["bn_fc1"]["bias"],
+            params["fc2"]["w"], params["fc2"]["b"],
+            params["bn_fc2"]["scale"], params["bn_fc2"]["bias"],
+            params["fc3"]["w"], params["fc3"]["b"])
+        new_state["bn_fc1"] = _fc_ema(state["bn_fc1"], mu1, v1, h.shape[0])
+        new_state["bn_fc2"] = _fc_ema(state["bn_fc2"], mu2, v2, h.shape[0])
+    else:
+        for i in range(1, 3):
+            h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(
+                params[f"fc{i}"], params[f"bn_fc{i}"], state[f"bn_fc{i}"], h,
+                train=train, act="relu")
+        h = core.dense(params["fc3"], h)
     iden = jnp.eye(k, dtype=h.dtype).reshape(-1)
     return (h + iden).reshape(-1, k, k), new_state
+
+
+def _fc_ema(s, batch_mean, batch_var_biased, m: int):
+    """torch-style running-stat update for the fc-head BNs (reduction is
+    over the batch axis only, so the unbiased correction uses B)."""
+    unbiased = batch_var_biased * (m / max(m - 1, 1))
+    mom = core.BN_MOMENTUM
+    return {
+        "mean": (1.0 - mom) * s["mean"]
+                + mom * jax.lax.stop_gradient(batch_mean),
+        "var": (1.0 - mom) * s["var"]
+               + mom * jax.lax.stop_gradient(unbiased),
+    }

@@ -236,6 +236,67 @@ def train_steps_scan(state: state_lib.GANTrainState,
                                  d_tx=d_tx, paths=dispatch.current_paths())
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx", "paths"))
+def _train_step_gather_jit(state, pool_x, pool_y, pool_u, idx_l, idx_u, *,
+                           cfg, g_tx, d_tx, paths):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    with dispatch.path_context(paths):
+        x_l = jnp.take(pool_x, idx_l, axis=0)
+        y_l = jnp.take(pool_y, idx_l, axis=0)
+        x_u = jnp.take(pool_u, idx_u, axis=0)
+        return _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx)
+
+
+def train_step_gather(state: state_lib.GANTrainState,
+                      pool_x: jnp.ndarray, pool_y: jnp.ndarray,
+                      pool_u: jnp.ndarray, idx_l: jnp.ndarray,
+                      idx_u: jnp.ndarray, *, cfg: AdversarialConfig,
+                      g_tx, d_tx) -> Tuple[state_lib.GANTrainState,
+                                           Dict[str, jnp.ndarray]]:
+    """``train_step`` with device-resident data pools.
+
+    The host transfers only the ``[B]`` int32 index vectors per step; the
+    batch gather (the reference Dataset's ``__getitem__`` row selection)
+    runs on device from pools staged in HBM once per run. Identical
+    numerics to ``train_step`` on the gathered rows — the runner's
+    default when the train pools fit in HBM (they always do at this
+    model's dataset scale; ModelNet40 is ~242 MB)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    return _train_step_gather_jit(state, pool_x, pool_y, pool_u, idx_l,
+                                  idx_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx,
+                                  paths=dispatch.current_paths())
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx", "paths"))
+def _train_steps_scan_gather_jit(state, pool_x, pool_y, pool_u, idx_l,
+                                 idx_u, *, cfg, g_tx, d_tx, paths):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    def body(s, idxs):
+        il, iu = idxs
+        return _train_step_impl(
+            s, jnp.take(pool_x, il, axis=0), jnp.take(pool_y, il, axis=0),
+            jnp.take(pool_u, iu, axis=0), cfg, g_tx, d_tx)
+
+    with dispatch.path_context(paths):
+        return jax.lax.scan(body, state, (idx_l, idx_u))
+
+
+def train_steps_scan_gather(state: state_lib.GANTrainState,
+                            pool_x: jnp.ndarray, pool_y: jnp.ndarray,
+                            pool_u: jnp.ndarray, idx_l: jnp.ndarray,
+                            idx_u: jnp.ndarray, *, cfg: AdversarialConfig,
+                            g_tx, d_tx) -> Tuple[state_lib.GANTrainState,
+                                                 Dict[str, jnp.ndarray]]:
+    """K fused steps per launch from device-resident pools; ``idx_l`` /
+    ``idx_u`` carry a leading K axis (``[K, B]`` int32)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    return _train_steps_scan_gather_jit(state, pool_x, pool_y, pool_u,
+                                        idx_l, idx_u, cfg=cfg, g_tx=g_tx,
+                                        d_tx=d_tx,
+                                        paths=dispatch.current_paths())
+
+
 def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     rng, k_aug_l, k_aug_u = jax.random.split(state.rng, 3)
     # Fused preprocessing chain (normalize -> resample -> rotate -> jitter

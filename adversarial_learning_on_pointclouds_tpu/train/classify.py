@@ -106,3 +106,24 @@ def eval_step(params, bn_state, points, labels) -> Dict[str, jnp.ndarray]:
     """Eval-mode forward (BN running stats, no dropout) + correctness counts."""
     return _eval_step(params, bn_state, points, labels,
                       dispatch.current_paths())
+
+
+@functools.partial(jax.jit, static_argnames=("paths",))
+def _eval_scan(params, bn_state, pool_x, idx, paths):
+    with dispatch.path_context(paths):
+        def body(_, ib):
+            x = jnp.take(pool_x, ib, axis=0)
+            logp, _, _, _ = apply_classifier(params, bn_state, x,
+                                             train=False)
+            return None, jnp.argmax(logp, -1)
+
+        _, preds = jax.lax.scan(body, None, idx)
+        return preds
+
+
+def eval_scan(params, bn_state, pool_x, idx) -> jnp.ndarray:
+    """The whole test pass as one compiled launch (see segment.eval_scan):
+    returns predicted class ids ``[S, B]`` for ``idx [S, B]`` rows of the
+    device-resident test pool."""
+    return _eval_scan(params, bn_state, pool_x, idx,
+                      dispatch.current_paths())

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
+import time
 from typing import Optional, Tuple
 
 import numpy as np
@@ -134,9 +135,11 @@ def run_classification(cfg: ClassifyConfig,
     logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
+    pool_te = replicate_tree(mesh, x_te) if cfg.device_data else None
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
-            maybe_trace(cfg.profile_dir):
+            maybe_trace(cfg.profile_dir), \
+            checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
@@ -145,12 +148,16 @@ def run_classification(cfg: ClassifyConfig,
                                                cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,
                                 pts_per_step, n_chips)
-            ev = eval_lib.evaluate_classifier(
-                state.params, state.bn_state, x_te, y_te, cfg.batch_size,
-                cfg.num_classes)
+            ev = (eval_lib.evaluate_classifier_device(
+                      state.params, state.bn_state, pool_te, y_te,
+                      cfg.batch_size, cfg.num_classes)
+                  if cfg.device_data else
+                  eval_lib.evaluate_classifier(
+                      state.params, state.bn_state, x_te, y_te,
+                      cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             logger.log_epoch(epoch, **ev)
-            checkpoint.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
     logger.close()
     return {"best_accuracy": best, "state": state}
 
@@ -170,9 +177,12 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
+    pools_te = (replicate_tree(mesh, (x_te, s_te, c_te))
+                if cfg.device_data else None)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
-            maybe_trace(cfg.profile_dir):
+            maybe_trace(cfg.profile_dir), \
+            checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, s_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
@@ -180,12 +190,16 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                 state, m = segment.train_step(state, pts, lab, cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,
                                 pts_per_step, n_chips)
-            ev, table = eval_lib.evaluate_segmenter(
-                state.params, state.bn_state, x_te, s_te, c_te,
-                cfg.batch_size)
+            ev, table = (eval_lib.evaluate_segmenter_device(
+                             state.params, state.bn_state, *pools_te,
+                             s_te, c_te, cfg.batch_size)
+                         if cfg.device_data else
+                         eval_lib.evaluate_segmenter(
+                             state.params, state.bn_state, x_te, s_te,
+                             c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             logger.log_epoch(epoch, **ev)
-            checkpoint.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
     logger.close()
     return {"best_miou": best, "state": state, "category_miou": table}
 
@@ -224,45 +238,84 @@ def run_adversarial(cfg: AdversarialConfig,
               "train set (labeled included) as the unlabeled stream",
               file=sys.stderr)
         x_unl = x_tr
-    # Infinite unlabeled host stream, created ONCE (position persists
-    # across epochs, like the reference's cycled iterator).
-    unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
-                                             seed=cfg.seed + 1)
+    # Infinite unlabeled stream, created ONCE (position persists across
+    # epochs, like the reference's cycled iterator). On the (default)
+    # device-data path the pools are staged in HBM once and both streams
+    # carry only [B] int32 index vectors — the batch gather (the
+    # reference ``__getitem__`` row selection) runs inside the jitted
+    # step; index streams reproduce the host streams' permutations
+    # exactly (loader.host_index_iterator).
+    pools_te = None
+    if cfg.device_data:
+        pool_x = replicate_tree(mesh, x_tr[:n_lab])
+        pool_y = replicate_tree(mesh, s_tr[:n_lab])
+        pool_u = replicate_tree(mesh, x_unl)
+        pools_te = replicate_tree(mesh, (x_te, s_te, c_te))
+        unl_idx_stream = loader.cycling_host_indices(
+            len(x_unl), cfg.batch_size, seed=cfg.seed + 1)
+    else:
+        unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
+                                                 seed=cfg.seed + 1)
     table: dict = {}
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
-            maybe_trace(cfg.profile_dir):
+            maybe_trace(cfg.profile_dir), \
+            checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
-            lab_host = loader.host_batch_iterator(
-                (x_tr[:n_lab], s_tr[:n_lab]), cfg.batch_size,
-                seed=cfg.seed, epoch=epoch)
-            paired = ((xl, yl, xu) for (xl, yl), (xu,)
-                      in zip(lab_host, unl_stream))
+            t0 = time.perf_counter()
+            if cfg.device_data:
+                lab_idx = loader.host_index_iterator(
+                    n_lab, cfg.batch_size, seed=cfg.seed, epoch=epoch)
+                paired = zip(lab_idx, unl_idx_stream)
+            else:
+                lab_host = loader.host_batch_iterator(
+                    (x_tr[:n_lab], s_tr[:n_lab]), cfg.batch_size,
+                    seed=cfg.seed, epoch=epoch)
+                paired = ((xl, yl, xu) for (xl, yl), (xu,)
+                          in zip(lab_host, unl_stream))
             bi = 0
             for batch, stacked in loader.device_batches(
                     paired, sharding, k_stack=cfg.scan,
                     prefetch=_prefetch_depth(cfg)):
-                x_l, y_l, x_u = batch
-                if stacked:
+                if cfg.device_data:
+                    i_l, i_u = batch
+                    if stacked:
+                        state, ms = adversarial.train_steps_scan_gather(
+                            state, pool_x, pool_y, pool_u, i_l, i_u,
+                            cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                    else:
+                        state, m = adversarial.train_step_gather(
+                            state, pool_x, pool_y, pool_u, i_l, i_u,
+                            cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                elif stacked:
                     state, ms = adversarial.train_steps_scan(
-                        state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx,
-                        d_tx=d_tx)
-                    k = x_l.shape[0]
+                        state, *batch, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                else:
+                    state, m = adversarial.train_step(
+                        state, *batch, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                if stacked:
+                    k = batch[0].shape[0]
                     logger.log_scan_steps(epoch, bi, spe, int(state.step),
                                           ms, k, pts_per_step, n_chips)
                     bi += k
                 else:
-                    state, m = adversarial.train_step(
-                        state, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
                     logger.log_step(epoch, bi, spe, int(state.step), m,
                                     pts_per_step, n_chips)
                     bi += 1
-            ev, table = eval_lib.evaluate_segmenter(
-                state.g_params, state.g_bn_state, x_te, s_te, c_te,
-                cfg.batch_size)
+            t1 = time.perf_counter()
+            ev, table = (eval_lib.evaluate_segmenter_device(
+                             state.g_params, state.g_bn_state, *pools_te,
+                             s_te, c_te, cfg.batch_size)
+                         if cfg.device_data else
+                         eval_lib.evaluate_segmenter(
+                             state.g_params, state.g_bn_state, x_te, s_te,
+                             c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
-            logger.log_epoch(epoch, **ev)
-            checkpoint.save(cfg.out_dir, epoch, state)
+            t2 = time.perf_counter()
+            saver.save(cfg.out_dir, epoch, state)
+            t3 = time.perf_counter()
+            logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
+                             ckpt_s=t3 - t2)
     logger.close()
     return {"best_miou": best, "state": state, "category_miou": table}
 
@@ -283,9 +336,11 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
+    pool_te = replicate_tree(mesh, x_te) if cfg.device_data else None
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
-            maybe_trace(cfg.profile_dir):
+            maybe_trace(cfg.profile_dir), \
+            checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
             for bi, (pts, lab) in enumerate(batch_iterator(
                     (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
@@ -294,11 +349,15 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                                                   cfg=cfg, tx=tx)
                 logger.log_step(epoch, bi, spe, int(state.step), m,
                                 pts_per_step, n_chips)
-            ev = eval_lib.evaluate_classifier(
-                state.params, state.bn_state, x_te, y_te, cfg.batch_size,
-                cfg.num_classes)
+            ev = (eval_lib.evaluate_classifier_device(
+                      state.params, state.bn_state, pool_te, y_te,
+                      cfg.batch_size, cfg.num_classes)
+                  if cfg.device_data else
+                  eval_lib.evaluate_classifier(
+                      state.params, state.bn_state, x_te, y_te,
+                      cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             logger.log_epoch(epoch, **ev)
-            checkpoint.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
     logger.close()
     return {"best_accuracy": best, "state": state}

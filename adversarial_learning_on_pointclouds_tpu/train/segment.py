@@ -102,3 +102,31 @@ def eval_step(params, bn_state, points, part_labels, categories,
     """Eval forward + on-device per-shape IoU (category-restricted)."""
     return _eval_step(params, bn_state, points, part_labels, categories,
                       dispatch.current_paths())
+
+
+@functools.partial(jax.jit, static_argnames=("paths",))
+def _eval_scan(params, bn_state, pool_x, pool_y, pool_c, idx, paths):
+    with dispatch.path_context(paths):
+        def body(_, ib):
+            x = jnp.take(pool_x, ib, axis=0)
+            y = jnp.take(pool_y, ib, axis=0)
+            c = jnp.take(pool_c, ib, axis=0)
+            logp, _, _, _ = apply_segmenter(params, bn_state, x, train=False)
+            pred = jnp.argmax(logp, -1)
+            return None, {"pred": pred,
+                          "ious": metrics.shape_ious_device(pred, y, c)}
+
+        _, outs = jax.lax.scan(body, None, idx)
+        return outs
+
+
+def eval_scan(params, bn_state, pool_x, pool_y, pool_c,
+              idx) -> Dict[str, jnp.ndarray]:
+    """The WHOLE test pass as one compiled launch: ``idx [S, B]`` selects
+    each batch from device-resident pools (gather in-program), the scan
+    body runs the eval forward + on-device category-restricted IoU.
+    One dispatch + one readback per eval instead of one per batch —
+    host<->device round trips through a tunneled chip dominate the
+    per-batch eval loop's wall time."""
+    return _eval_scan(params, bn_state, pool_x, pool_y, pool_c, idx,
+                      dispatch.current_paths())

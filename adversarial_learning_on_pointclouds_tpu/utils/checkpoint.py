@@ -12,6 +12,8 @@ round-trips through step-numbered orbax directories, with
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Any, Optional
 
 import jax
@@ -29,6 +31,60 @@ def save(ckpt_dir: str, step: int, state: Any) -> str:
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
     return path
+
+
+class AsyncSaver:
+    """Background checkpoint writer: the device->host state transfer
+    (~60 MB of params + two optimizer states; ~1.2 s/epoch measured
+    through the tunneled chip) and the orbax write run off the training
+    thread, overlapping the next epoch. JAX arrays are immutable, so
+    capturing the state is snapshot-safe. ``maxsize=1`` gives natural
+    backpressure (a third save blocks until the first lands); ``close()``
+    drains the queue so the final checkpoint is durable before the run
+    returns, and re-raises any writer-thread failure."""
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                ckpt_dir, step, state = item
+                save(ckpt_dir, step, state)
+            except BaseException as e:  # surfaced on next save()/close()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def save(self, ckpt_dir: str, step: int, state: Any) -> None:
+        if self._err is not None:
+            raise self._err
+        self._q.put((ckpt_dir, step, state))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+    def __enter__(self) -> "AsyncSaver":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.close()
+        else:  # don't mask the in-flight exception; best-effort drain
+            try:
+                self.close()
+            except BaseException:
+                pass
+        return False
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -47,21 +47,46 @@ class MetricLogger:
                 self._tb = None
         self._step_t0 = time.perf_counter()
 
-    def _emit(self, row, metrics, header: str) -> None:
-        row.update({k: float(v) for k, v in metrics.items()})
-        if self._csv is None:
-            self._csv = csv.DictWriter(self._csv_file, fieldnames=row.keys())
-            if self._csv_file.tell() == 0:
-                self._csv.writeheader()
-        self._csv.writerow(row)
-        if self._tb is not None:
-            for k, v in row.items():
-                if k not in ("epoch", "batch", "step"):
-                    self._tb.add_scalar(k, v, row["step"])
+    @staticmethod
+    def _start_fetch(metrics: Dict[str, "object"]) -> Dict[str, "object"]:
+        """Kick off non-blocking device->host copies for every metric.
+
+        The copies queue behind the step's compute and land while later
+        steps execute; by flush time the values are host-resident and the
+        whole row materializes in ~one round trip instead of one PER
+        metric (each blocking ``float()`` of a device scalar pays a full
+        tunnel RTT — profiled ~190 ms/step of the adversarial runner's
+        loop, 13x the 14 ms compute)."""
+        for v in metrics.values():
+            fetch = getattr(v, "copy_to_host_async", None)
+            if fetch is not None:
+                fetch()
+        return metrics
+
+    def _emit(self, rows, metrics, headers) -> None:
+        """Materialize one launch group: ``rows``/``headers`` are lists
+        (length 1 for single steps, K for a scan launch); ``metrics``
+        values are scalars or [K] arrays indexed per row."""
+        import numpy as np
+        arrs = {k: np.asarray(v) for k, v in metrics.items()}
+        for i, (row, header) in enumerate(zip(rows, headers)):
+            vals = {k: float(a[i] if a.ndim else a)
+                    for k, a in arrs.items()}
+            row.update(vals)
+            if self._csv is None:
+                self._csv = csv.DictWriter(self._csv_file,
+                                           fieldnames=row.keys())
+                if self._csv_file.tell() == 0:
+                    self._csv.writeheader()
+            self._csv.writerow(row)
+            if self._tb is not None:
+                for k, v in row.items():
+                    if k not in ("epoch", "batch", "step"):
+                        self._tb.add_scalar(k, v, row["step"])
+            if not self.quiet:
+                parts = " ".join(f"{k}: {v:.6f}" for k, v in vals.items())
+                print(f"{header} {parts}")
         if not self.quiet:
-            parts = " ".join(f"{k}: {float(v):.6f}"
-                             for k, v in metrics.items())
-            print(f"{header} {parts}")
             sys.stdout.flush()
 
     def _drain(self, keep: int) -> None:
@@ -82,8 +107,8 @@ class MetricLogger:
         if points_per_step:
             row["points_per_sec_per_chip"] = round(
                 points_per_step / dt / num_chips, 1)
-        self._pending.append((row, dict(metrics),
-                              f"[{epoch}: {batch}/{num_batches}]"))
+        self._pending.append(([row], self._start_fetch(dict(metrics)),
+                              [f"[{epoch}: {batch}/{num_batches}]"]))
         self._drain(self.lag)
 
     def log_scan_steps(self, epoch: int, batch0: int, num_batches: int,
@@ -92,10 +117,14 @@ class MetricLogger:
         """Log K steps executed by one fused ``lax.scan`` launch.
 
         ``metrics`` values carry a leading K axis; one elapsed interval is
-        split evenly over the K rows (the launch is one program)."""
+        split evenly over the K rows (the launch is one program). The K
+        rows enqueue as ONE pending group — the [K] metric arrays transfer
+        whole (never indexed on device, which would dispatch a tiny
+        program per element) and ``lag`` counts launches."""
         now = time.perf_counter()
         dt = (now - self._step_t0) / max(k, 1)
         self._step_t0 = now
+        rows, headers = [], []
         for i in range(k):
             row = {"epoch": epoch, "batch": batch0 + i,
                    "step": step_end - k + 1 + i,
@@ -103,11 +132,11 @@ class MetricLogger:
             if points_per_step:
                 row["points_per_sec_per_chip"] = round(
                     points_per_step / dt / num_chips, 1)
-            self._pending.append(
-                ({**row}, {kk: v[i] for kk, v in metrics.items()},
-                 f"[{epoch}: {batch0 + i}/{num_batches}]"))
-        # One scan launch counts as one pipeline slot regardless of K.
-        self._drain(self.lag * max(k, 1))
+            rows.append(row)
+            headers.append(f"[{epoch}: {batch0 + i}/{num_batches}]")
+        self._pending.append((rows, self._start_fetch(dict(metrics)),
+                              headers))
+        self._drain(self.lag)
 
     def log_epoch(self, epoch: int, **scalars: float) -> None:
         self._drain(0)

@@ -545,3 +545,51 @@ def test_disc_detached_dw_matches_full_bwd(rng_key):
     gx = jax.grad(lambda x: jnp.sum(jnp.tanh(
         disc_fused.apply_detached(params, x))))(probs)
     np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+
+def test_fc_head_train_kernel_parity():
+    """Fused T-Net fc head vs layerwise jnp composition: output, both
+    BN batch statistics, and every gradient (incl. dh into the trunk)."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        fc_head_train,
+    )
+
+    rng = np.random.default_rng(1)
+    Bx, C0, C1, C2, C3 = 8, 64, 32, 16, 9
+    h = jnp.asarray(rng.standard_normal((Bx, C0)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C0, C1)).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.standard_normal(C1).astype(np.float32) * 0.1)
+    g1 = jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32))
+    be1 = jnp.asarray(rng.standard_normal(C1).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((C1, C2)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal(C2).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(rng.uniform(0.5, 1.5, C2).astype(np.float32))
+    be2 = jnp.asarray(rng.standard_normal(C2).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.standard_normal((C2, C3)).astype(np.float32) * 0.2)
+    b3 = jnp.asarray(rng.standard_normal(C3).astype(np.float32) * 0.1)
+    args = (h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3)
+
+    def ref(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
+        z1 = h @ w1 + b1
+        mu1 = z1.mean(axis=0); var1 = z1.var(axis=0)
+        h1 = jnp.maximum(
+            (z1 - mu1) * jax.lax.rsqrt(var1 + BN_EPS) * g1 + be1, 0)
+        z2 = h1 @ w2 + b2
+        mu2 = z2.mean(axis=0); var2 = z2.var(axis=0)
+        h2 = jnp.maximum(
+            (z2 - mu2) * jax.lax.rsqrt(var2 + BN_EPS) * g2 + be2, 0)
+        return h2 @ w3 + b3, mu1, var1, mu2, var2
+
+    out = fc_head_train.fc_head_train(*args)
+    r = ref(*args)
+    for a, b in zip(out, r):
+        _close(a, b, rtol=1e-4)
+
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        fc_head_train.fc_head_train(*a)[0])),
+        argnums=tuple(range(11)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a)[0])),
+                  argnums=tuple(range(11)))(*args)
+    for a, b in zip(gf, gr):
+        _close(a, b, rtol=1e-4)

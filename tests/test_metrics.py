@@ -67,3 +67,45 @@ def test_category_miou_table():
     table = metrics.category_miou(pred, gt, cats)
     assert table["Bag"] == pytest.approx(1.0)
     assert "Chair" in table and table["Chair"] < 1.0
+
+
+def test_evaluate_device_matches_host_loop():
+    """evaluate_{classifier,segmenter}_device (single compiled scan over
+    device-resident pools) == the host batch-loop protocol, including the
+    padded+masked ragged final batch."""
+    import jax
+
+    from adversarial_learning_on_pointclouds_tpu import eval as eval_lib
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        CATEGORY_PART_RANGES,
+    )
+    from adversarial_learning_on_pointclouds_tpu.models import (
+        init_classifier, init_segmenter,
+    )
+
+    rng = np.random.default_rng(3)
+    n, npts, bs = 21, 64, 8  # 21 % 8 != 0 -> exercises pad+mask
+    x = rng.standard_normal((n, npts, 3)).astype(np.float32)
+    y_cls = rng.integers(0, 5, n).astype(np.int32)
+    cats = rng.integers(0, 16, n).astype(np.int32)
+    s_lab = np.empty((n, npts), np.int32)
+    for i, c in enumerate(cats):
+        start, count = CATEGORY_PART_RANGES[c]
+        s_lab[i] = rng.integers(start, start + count, npts)
+
+    cp, cs = init_classifier(jax.random.PRNGKey(0), 5)
+    host = eval_lib.evaluate_classifier(cp, cs, x, y_cls, bs, 5)
+    dev = eval_lib.evaluate_classifier_device(
+        cp, cs, jnp.asarray(x), y_cls, bs, 5)
+    assert host == dev
+
+    sp, ss = init_segmenter(jax.random.PRNGKey(1), 50)
+    h_sum, h_tab = eval_lib.evaluate_segmenter(sp, ss, x, s_lab, cats, bs)
+    d_sum, d_tab = eval_lib.evaluate_segmenter_device(
+        sp, ss, jnp.asarray(x), jnp.asarray(s_lab), jnp.asarray(cats),
+        s_lab, cats, bs)
+    for k in h_sum:
+        assert h_sum[k] == pytest.approx(d_sum[k], rel=1e-6), k
+    assert h_tab.keys() == d_tab.keys()
+    for k in h_tab:
+        assert h_tab[k] == pytest.approx(d_tab[k], rel=1e-6), k

@@ -46,6 +46,43 @@ def test_run_adversarial(shapenet_root, tmp_path):
     assert int(state.step) > 0
 
 
+def test_adversarial_device_data_matches_host_path(shapenet_root, tmp_path):
+    """The (default) device-resident pool + on-device gather path trains
+    IDENTICALLY to host-assembled batch streaming: same index streams,
+    same rows, same RNG — final params must match exactly."""
+    import jax
+
+    kw = dict(batch_size=8, num_points=64, epochs=2, dataset=shapenet_root,
+              use_pallas=False, quiet=True, feature_transform=False,
+              augment=True)
+    r_dev = runner.run_adversarial(AdversarialConfig(
+        out_dir=str(tmp_path / "adv_dev"), device_data=True, **kw))
+    r_host = runner.run_adversarial(AdversarialConfig(
+        out_dir=str(tmp_path / "adv_host"), device_data=False, **kw))
+    for a, b in zip(jax.tree_util.tree_leaves(r_dev["state"].g_params),
+                    jax.tree_util.tree_leaves(r_host["state"].g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert r_dev["best_miou"] == r_host["best_miou"]
+
+
+def test_adversarial_device_data_scan_matches_host_path(shapenet_root,
+                                                        tmp_path):
+    """Same contract through the --scan K fused-launch path (stacked [K,B]
+    index transfers + lax.scan gather steps)."""
+    import jax
+
+    kw = dict(batch_size=8, num_points=64, epochs=1, dataset=shapenet_root,
+              use_pallas=False, quiet=True, feature_transform=False)
+    r_scan = runner.run_adversarial(AdversarialConfig(
+        out_dir=str(tmp_path / "adv_scan_dev"), device_data=True, scan=2,
+        **kw))
+    r_host = runner.run_adversarial(AdversarialConfig(
+        out_dir=str(tmp_path / "adv_scan_host"), device_data=False, **kw))
+    for a, b in zip(jax.tree_util.tree_leaves(r_scan["state"].g_params),
+                    jax.tree_util.tree_leaves(r_host["state"].g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_run_adv_perturb(modelnet_root, tmp_path):
     cfg = AdvPerturbConfig(batch_size=8, num_points=64, epochs=1,
                            out_dir=str(tmp_path / "advp"),
