@@ -94,12 +94,14 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
         h = ops.max_points(h)  # [B, 1024] symmetric pool
     if train and ops.pallas_train_enabled():
         # The whole fc head — fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on
-        # [B, 1024] — as ONE fused forward / ONE fused backward kernel.
-        # Measured SLOWER than the XLA layerwise chain on v5e (STNkd head
-        # 2.83 vs 1.79 ms isolated fwd+bwd; the [32,256]@[256,4096] fc3
-        # schedules worse as one in-kernel dot), so like the per-layer
-        # training matmuls it is opt-in via use_pallas(training=True);
-        # parity is pinned by test_fc_head_train_kernel_parity.
+        # [B, 1024] — as ONE fused forward kernel + a fused BN-layers
+        # backward kernel (fc3's affine backward stays in XLA, which also
+        # keeps w3/dw3 out of scoped VMEM at k=64). Measured SLOWER than
+        # the XLA layerwise chain on v5e (STNkd head 1.65 vs 1.18 ms
+        # isolated fwd+bwd), so like the per-layer training matmuls it is
+        # opt-in via use_pallas(training=True); parity is pinned by
+        # test_fc_head_train_kernel_parity and compiled on chip by
+        # test_fc_head_train_compiled.
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             fc_head_train,
         )

@@ -14,8 +14,11 @@ runs each chain as ONE forward and ONE backward ``pallas_call`` with
 * **F**: z1 = h@w1+b1; BN1 batch stats over the batch axis in-register;
   h1 = relu(bn1(z1)); same for layer 2; out = h2@w3+b3. Stashes z1/z2
   (tiny: [B,512]+[B,256]) for backward.
-* **B**: standard BN backward per layer, all six matmuls (dw_i, dh_i) in
-  the same kernel; emits dh plus every parameter gradient.
+* **B**: layer 3 (a plain affine) backprops in XLA — its dw3/dh2 matmuls
+  are standard MXU shapes, and keeping w3+dw3 (4 MB each at k=64) out of
+  the kernel fits the scoped 16 MB VMEM budget; the Pallas kernel then
+  does both BN layers' backward (ReLU', batch-axis stat reductions, dw_i,
+  dh_i) in one pass from the z stashes.
 
 BN math matches ``core.batch_norm`` exactly (one-pass E[x^2]-E[x]^2
 moments, biased variance for normalization, eps=1e-5); the caller applies
@@ -40,6 +43,18 @@ from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
 
 def _row(a):
     return a.reshape(1, -1)
+
+
+def _mxu_dot_nt(a, b):
+    """``a @ b.T`` as a dot_general contracting the LAST axis of both
+    operands — the MXU's native "nt" gemm. Writing ``a @ b.T`` instead
+    makes Mosaic materialize the transposed copy on the kernel's VMEM
+    stack (w3 [256, 4096] -> +4 MB, which overflowed the 16 MB scoped
+    limit for the k=64 backward)."""
+    dn = (((1,), (1,)), ((), ()))
+    return jax.lax.dot_general(a, b, dn,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 def _bn_fwd(z):
@@ -111,12 +126,17 @@ def _fwd_call(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(dout_ref, h_ref, z1_ref, z2_ref,
-                w1_ref, w2_ref, w3_ref, g1_ref, be1_ref, g2_ref, be2_ref,
+def _bwd_kernel(dh2_ref, h_ref, z1_ref, z2_ref,
+                w1_ref, w2_ref, g1_ref, be1_ref, g2_ref, be2_ref,
                 mu1_ref, inv1_ref, mu2_ref, inv2_ref,
                 dh_ref, dw1_ref, db1_ref, dg1_ref, dbe1_ref,
-                dw2_ref, db2_ref, dg2_ref, dbe2_ref, dw3_ref, db3_ref):
-    dout = dout_ref[...].astype(jnp.float32)
+                dw2_ref, db2_ref, dg2_ref, dbe2_ref):
+    """BN-layer backward (layers 2 then 1), given ``dh2`` = the cotangent
+    into h2. Layer 3's backward (a plain affine: dw3/db3/dh2) runs in XLA
+    outside — keeping ``w3``/``dw3`` (k=64: 4 MB each) out of this kernel
+    is what fits it in the 16 MB scoped-VMEM budget, and those two big
+    MXU-friendly matmuls are exactly what XLA schedules well anyway."""
+    dh2 = dh2_ref[...].astype(jnp.float32)
     h = h_ref[...].astype(jnp.float32)
     z1 = z1_ref[...].astype(jnp.float32)
     z2 = z2_ref[...].astype(jnp.float32)
@@ -127,11 +147,6 @@ def _bwd_kernel(dout_ref, h_ref, z1_ref, z2_ref,
     zhat1 = (z1 - mu1_ref[...]) * inv1_ref[...]
     h1 = jnp.maximum(zhat1 * g1_ref[...] + be1_ref[...], 0.0)
 
-    # Layer 3 (plain affine).
-    dw3_ref[...] = _mxu_dot_t(h2, dout).astype(dw3_ref.dtype)
-    db3_ref[...] = jnp.sum(dout, axis=0, keepdims=True)
-    dh2 = _mxu_dot(dout, w3_ref[...].T)
-
     # Layer 2: ReLU' then BN backward over the batch axis.
     dy2 = dh2 * (h2 > 0).astype(jnp.float32)
     t1 = jnp.sum(dy2, axis=0, keepdims=True)
@@ -140,7 +155,7 @@ def _bwd_kernel(dout_ref, h_ref, z1_ref, z2_ref,
     dz2 = (g2_ref[...] * inv2_ref[...]) * (dy2 - t1 / b - zhat2 * (t2 / b))
     dw2_ref[...] = _mxu_dot_t(h1, dz2).astype(dw2_ref.dtype)
     db2_ref[...] = jnp.sum(dz2, axis=0, keepdims=True)
-    dh1 = _mxu_dot(dz2, w2_ref[...].T)
+    dh1 = _mxu_dot_nt(dz2, w2_ref[...])
 
     # Layer 1.
     dy1 = dh1 * (h1 > 0).astype(jnp.float32)
@@ -150,26 +165,26 @@ def _bwd_kernel(dout_ref, h_ref, z1_ref, z2_ref,
     dz1 = (g1_ref[...] * inv1_ref[...]) * (dy1 - t1 / b - zhat1 * (t2 / b))
     dw1_ref[...] = _mxu_dot_t(h, dz1).astype(dw1_ref.dtype)
     db1_ref[...] = jnp.sum(dz1, axis=0, keepdims=True)
-    dh_ref[...] = _mxu_dot(dz1, w1_ref[...].T).astype(dh_ref.dtype)
+    dh_ref[...] = _mxu_dot_nt(dz1, w1_ref[...]).astype(dh_ref.dtype)
 
 
-def _bwd_call(dout, h, z1, z2, w1, w2, w3, g1, be1, g2, be2,
+def _bwd_call(dh2, h, z1, z2, w1, w2, g1, be1, g2, be2,
               mu1, inv1, mu2, inv2):
     bsz, c0 = h.shape
-    c1, c2, c3 = w1.shape[1], w2.shape[1], w3.shape[1]
+    c1, c2 = w1.shape[1], w2.shape[1]
     full = lambda shape: pl.BlockSpec(shape, lambda: (0, 0),  # noqa: E731
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(),
-        in_specs=[full(dout.shape), full(h.shape), full(z1.shape),
+        in_specs=[full(dh2.shape), full(h.shape), full(z1.shape),
                   full(z2.shape), full(w1.shape), full(w2.shape),
-                  full(w3.shape), full((1, c1)), full((1, c1)),
+                  full((1, c1)), full((1, c1)),
                   full((1, c2)), full((1, c2)), full((1, c1)),
                   full((1, c1)), full((1, c2)), full((1, c2))],
         out_specs=tuple(full(s) for s in (
             (bsz, c0), w1.shape, (1, c1), (1, c1), (1, c1),
-            w2.shape, (1, c2), (1, c2), (1, c2), w3.shape, (1, c3))),
+            w2.shape, (1, c2), (1, c2), (1, c2))),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, c0), jnp.float32),
             jax.ShapeDtypeStruct(w1.shape, jnp.float32),
@@ -180,11 +195,9 @@ def _bwd_call(dout, h, z1, z2, w1, w2, w3, g1, be1, g2, be2,
             jax.ShapeDtypeStruct((1, c2), jnp.float32),
             jax.ShapeDtypeStruct((1, c2), jnp.float32),
             jax.ShapeDtypeStruct((1, c2), jnp.float32),
-            jax.ShapeDtypeStruct(w3.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, c3), jnp.float32),
         ),
         interpret=_interpret(),
-    )(dout, h, z1, z2, w1, w2, w3, _row(g1), _row(be1), _row(g2),
+    )(dh2, h, z1, z2, w1, w2, _row(g1), _row(be1), _row(g2),
       _row(be2), mu1, inv1, mu2, inv2)
 
 
@@ -222,13 +235,24 @@ def _fc_head_fwd(*args):
 
 def _fc_head_bwd(res, cts):
     (h, z1, z2, w1, w2, w3, g1, be1, g2, be2, mu1, inv1, mu2, inv2) = res
-    dout = cts[0]
-    (dh, dw1, db1, dg1, dbe1, dw2, db2, dg2, dbe2, dw3, db3) = _bwd_call(
-        dout, h, z1, z2, w1, w2, w3, g1, be1, g2, be2, mu1, inv1, mu2, inv2)
+    dout = cts[0].astype(jnp.float32)
+    # Layer 3 backward in XLA (recompute tiny h2 from the z2 stash): the
+    # dw3/dh2 matmuls are standard MXU shapes, and keeping w3/dw3 out of
+    # the Pallas kernel fits it in scoped VMEM at k=64 (see _bwd_kernel).
+    hi = jax.lax.Precision.HIGHEST
+    zhat2 = (z2 - mu2) * inv2
+    h2 = jnp.maximum(zhat2 * _row(g2) + _row(be2), 0.0)
+    dw3 = jax.lax.dot_general(h2, dout, (((0,), (0,)), ((), ())),
+                              precision=hi)
+    db3 = jnp.sum(dout, axis=0)
+    dh2 = jax.lax.dot_general(dout, w3, (((1,), (1,)), ((), ())),
+                              precision=hi)
+    (dh, dw1, db1, dg1, dbe1, dw2, db2, dg2, dbe2) = _bwd_call(
+        dh2, h, z1, z2, w1, w2, g1, be1, g2, be2, mu1, inv1, mu2, inv2)
     flat = lambda a: a.reshape(-1)  # noqa: E731
     return (dh.astype(h.dtype), dw1.astype(w1.dtype), flat(db1), flat(dg1),
             flat(dbe1), dw2.astype(w2.dtype), flat(db2), flat(dg2),
-            flat(dbe2), dw3.astype(w3.dtype), flat(db3))
+            flat(dbe2), dw3.astype(w3.dtype), db3)
 
 
 _fc_head.defvjp(_fc_head_fwd, _fc_head_bwd)

@@ -213,9 +213,57 @@ def check_timing():
     assert times["pallas"] < 3 * times["xla"], times
 
 
+def check_fc_head_train():
+    """Fused T-Net fc-head TRAINING kernel, compiled at real shapes
+    (B=32, 1024->512->256->k*k for k=3 and 64): output, batch stats, and
+    every gradient vs the fp32-pinned layerwise jnp chain."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        fc_head_train,
+    )
+    hi = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def ref(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
+        z1 = hi(h, w1) + b1
+        h1 = jnp.maximum((z1 - z1.mean(0)) * jax.lax.rsqrt(
+            z1.var(0) + BN_EPS) * g1 + be1, 0)
+        z2 = hi(h1, w2) + b2
+        h2 = jnp.maximum((z2 - z2.mean(0)) * jax.lax.rsqrt(
+            z2.var(0) + BN_EPS) * g2 + be2, 0)
+        return hi(h2, w3) + b3
+
+    for k in (3, 64):
+        rng = np.random.default_rng(k)
+        dims = (1024, 512, 256, k * k)
+        h = jnp.asarray(rng.standard_normal((32, dims[0]), np.float32))
+        args = [h]
+        for cin, cout in zip(dims[:-1], dims[1:]):
+            args += [jnp.asarray(rng.standard_normal(
+                         (cin, cout), np.float32) * (1.0 / np.sqrt(cin))),
+                     jnp.asarray(rng.standard_normal(cout, np.float32) * .1)]
+            if cout != dims[-1]:
+                args += [jnp.asarray(rng.uniform(.5, 1.5, cout)
+                                     .astype(np.float32)),
+                         jnp.asarray(rng.standard_normal(cout, np.float32)
+                                     * .1)]
+        out = jax.jit(lambda *a: fc_head_train.fc_head_train(*a)[0])(*args)
+        _assert_close(f"fc_head_train k={k} fwd", out, ref(*args))
+        gp = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(
+            fc_head_train.fc_head_train(*a)[0])),
+            argnums=tuple(range(11))))(*args)
+        gr = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                              argnums=tuple(range(11))))(*args)
+        worst = max(float(jnp.max(jnp.abs(a - b))) /
+                    max(float(jnp.max(jnp.abs(b))), 1.0)
+                    for a, b in zip(gp, gr))
+        print(f"[{'OK ' if worst <= 1e-3 else 'FAIL'}] fc_head_train k={k} "
+              f"grads: worst rel={worst:.2e}")
+        assert worst <= 1e-3, worst
+
+
 ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
               check_augment_distributions, check_training_grads,
-              check_timing)
+              check_fc_head_train, check_timing)
 
 
 def main():

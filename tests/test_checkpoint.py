@@ -82,3 +82,23 @@ def test_gan_state_roundtrip(tmp_path):
                                   adversarial.create_state(cfg, 1))
     assert _tree_equal(restored.g_params, state.g_params)
     assert _tree_equal(restored.d_params, state.d_params)
+
+
+def test_async_saver_roundtrip_and_error_propagation(tmp_path):
+    """AsyncSaver: (a) checkpoints written off-thread are durable and
+    restorable after close(); (b) a writer-thread failure surfaces on
+    close() instead of being swallowed."""
+    cfg = ClassifyConfig(num_classes=4, batch_size=B, num_points=N)
+    state = classify.create_state(cfg, 1)
+    out = str(tmp_path / "async_ok")
+    with checkpoint.AsyncSaver() as saver:
+        saver.save(out, 0, state)
+        saver.save(out, 1, state)
+    assert checkpoint.latest_step(out) == 1
+    restored = checkpoint.restore(out, classify.create_state(cfg, 1))
+    assert _tree_equal(restored.params, state.params)
+
+    saver = checkpoint.AsyncSaver()
+    saver.save(str(tmp_path / "f\x00bad"), 0, state)  # invalid path
+    with np.testing.assert_raises(Exception):
+        saver.close()

@@ -138,3 +138,29 @@ def test_shapenet_pts_class_choice(tmp_path):
     pts, seg, cat = sub.as_arrays(64)
     assert pts.shape[0] == len(sub)
     assert all(CATEGORY_NAMES[c] == pick for c in cat)
+
+
+def test_host_index_iterator_matches_batch_stream():
+    """host_index_iterator yields the SAME permutation stream as
+    host_batch_iterator (the device-data path's contract: gathering
+    pool[idx] on device must see the rows the host path would send)."""
+    from adversarial_learning_on_pointclouds_tpu.data.loader import (
+        cycling_host_batches, cycling_host_indices, host_batch_iterator,
+        host_index_iterator,
+    )
+
+    x = np.arange(26, dtype=np.float32).reshape(26, 1)
+    for epoch in (0, 3):
+        rows = [b[0] for b in host_batch_iterator(
+            (x,), 8, seed=5, epoch=epoch)]
+        idxs = list(host_index_iterator(26, 8, seed=5, epoch=epoch))
+        assert len(rows) == len(idxs) == 3  # drop_last
+        for r, i in zip(rows, idxs):
+            assert i.dtype == np.int32
+            np.testing.assert_array_equal(r, x[i])
+
+    stream = cycling_host_batches((x,), 8, seed=9)
+    istream = cycling_host_indices(26, 8, seed=9)
+    for _ in range(8):  # crosses the epoch boundary (3 batches/pass)
+        (r,), i = next(stream), next(istream)
+        np.testing.assert_array_equal(r, x[i])

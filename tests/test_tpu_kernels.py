@@ -38,6 +38,11 @@ def test_training_kernel_grads_compiled():
     check_training_grads()
 
 
+def test_fc_head_train_compiled():
+    from scripts.tpu_kernel_check import check_fc_head_train
+    check_fc_head_train()
+
+
 def test_fused_eval_timing_sane():
     from scripts.tpu_kernel_check import check_timing
     check_timing()
