@@ -34,33 +34,37 @@ def make_tx(cfg: AdvPerturbConfig, steps_per_epoch: int):
     return classify.make_tx(cfg, steps_per_epoch)
 
 
+def _train_step_impl(state, points, labels, cfg: AdvPerturbConfig, tx):
+    rng, k_aug, k_drop1, k_drop2 = jax.random.split(state.rng, 4)
+    points = augment.chain_from_cfg(k_aug, cfg, points)
+
+    # FGSM attack: eval-mode forward for the input gradient (the attack
+    # must not perturb BN running stats), matching the reference's
+    # model.eval() during attack generation.
+    def attack_loss(x):
+        logp, _, _, _ = apply_classifier(
+            state.params, state.bn_state, x, train=False)
+        return losses.nll_loss(logp, labels)
+
+    x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
+
+    # Standard supervised update on the perturbed batch.
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        classify.loss_fn, has_aux=True)(
+            state.params, state.bn_state, x_adv, labels, k_drop2, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state_lib.TrainState(new_params, new_bn, new_opt,
+                                     state.step + 1, rng)
+    return new_state, {"loss": loss, "acc": acc}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
 def _train_step(state, points, labels, *, cfg: AdvPerturbConfig, tx, paths):
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
     with dispatch.path_context(paths):
-        rng, k_aug, k_drop1, k_drop2 = jax.random.split(state.rng, 4)
-        points = augment.chain_from_cfg(k_aug, cfg, points)
-
-        # FGSM attack: eval-mode forward for the input gradient (the attack
-        # must not perturb BN running stats), matching the reference's
-        # model.eval() during attack generation.
-        def attack_loss(x):
-            logp, _, _, _ = apply_classifier(
-                state.params, state.bn_state, x, train=False)
-            return losses.nll_loss(logp, labels)
-
-        x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
-
-        # Standard supervised update on the perturbed batch.
-        (loss, (new_bn, acc)), grads = jax.value_and_grad(
-            classify.loss_fn, has_aux=True)(
-                state.params, state.bn_state, x_adv, labels, k_drop2, cfg)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
-        new_state = state_lib.TrainState(new_params, new_bn, new_opt,
-                                         state.step + 1, rng)
-        return new_state, {"loss": loss, "acc": acc}
+        return _train_step_impl(state, points, labels, cfg, tx)
 
 
 def train_step(state: state_lib.TrainState, points: jnp.ndarray,
@@ -71,3 +75,8 @@ def train_step(state: state_lib.TrainState, points: jnp.ndarray,
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
     return _train_step(state, points, labels, cfg=cfg, tx=tx,
                        paths=dispatch.current_paths())
+
+
+# Device-resident-pool variants (see state_lib.gather_step_fns).
+train_step_gather, train_steps_scan_gather = state_lib.gather_step_fns(
+    _train_step_impl)

@@ -61,21 +61,25 @@ def loss_fn(params, bn_state, points, labels, rng, cfg: ClassifyConfig,
     return loss, (new_bn, acc)
 
 
+def _train_step_impl(state, points, labels, cfg: ClassifyConfig, tx):
+    rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+    points = augment.chain_from_cfg(k_aug, cfg, points)
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, state.bn_state, points,
+                               labels, k_drop, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state_lib.TrainState(
+        params=new_params, bn_state=new_bn, opt_state=new_opt,
+        step=state.step + 1, rng=rng)
+    return new_state, {"loss": loss, "acc": acc}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
 def _train_step(state, points, labels, *, cfg: ClassifyConfig, tx, paths):
     with dispatch.path_context(paths):
-        rng, k_aug, k_drop = jax.random.split(state.rng, 3)
-        points = augment.chain_from_cfg(k_aug, cfg, points)
-        (loss, (new_bn, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.bn_state, points,
-                                   labels, k_drop, cfg)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
-        new_state = state_lib.TrainState(
-            params=new_params, bn_state=new_bn, opt_state=new_opt,
-            step=state.step + 1, rng=rng)
-        return new_state, {"loss": loss, "acc": acc}
+        return _train_step_impl(state, points, labels, cfg, tx)
 
 
 def train_step(state: state_lib.TrainState, points: jnp.ndarray,
@@ -90,6 +94,12 @@ def train_step(state: state_lib.TrainState, points: jnp.ndarray,
     previously compiled path."""
     return _train_step(state, points, labels, cfg=cfg, tx=tx,
                        paths=dispatch.current_paths())
+
+
+# Device-resident-pool variants: [B] / [K, B] int32 index transfers, the
+# batch gather on device (see state_lib.gather_step_fns).
+train_step_gather, train_steps_scan_gather = state_lib.gather_step_fns(
+    _train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("paths",))

@@ -28,9 +28,7 @@ from adversarial_learning_on_pointclouds_tpu.data import (
 )
 from adversarial_learning_on_pointclouds_tpu.data import augment as aug_lib
 from adversarial_learning_on_pointclouds_tpu.data import loader
-from adversarial_learning_on_pointclouds_tpu.data.loader import (
-    batch_iterator, num_batches,
-)
+from adversarial_learning_on_pointclouds_tpu.data.loader import num_batches
 from adversarial_learning_on_pointclouds_tpu.ops import (
     mixed_precision, use_pallas,
 )
@@ -119,6 +117,49 @@ def _prefetch_depth(cfg) -> int:
     return cfg.workers if cfg.workers > 0 else 2
 
 
+def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
+                      pts_per_step, n_chips, pools=None, arrays=None):
+    """One training epoch for a single-network trainer (configs 1-3, 5).
+
+    Default (``cfg.device_data``): the train pools live in HBM
+    (``pools = (pool_x, pool_y, n)``), the host streams ``[B]`` int32
+    index vectors, and ``mod.train_step_gather`` selects the rows on
+    device; with ``--scan K`` the stacked ``[K, B]`` index groups launch
+    ``mod.train_steps_scan_gather``. ``--host_data`` streams assembled
+    batches from ``arrays`` instead (reference DataLoader model; scan
+    groups fall back to per-step launches). Both paths consume the same
+    permutation stream (``loader.host_index_iterator`` contract)."""
+    if cfg.device_data:
+        pool_x, pool_y, n = pools
+        src = ((i,) for i in loader.host_index_iterator(
+            n, cfg.batch_size, seed=cfg.seed, epoch=epoch))
+        k_stack = cfg.scan
+    else:
+        src = loader.host_batch_iterator(arrays, cfg.batch_size,
+                                         seed=cfg.seed, epoch=epoch)
+        k_stack = 0
+    bi = 0
+    for batch, stacked in loader.device_batches(
+            src, sharding, k_stack=k_stack, prefetch=_prefetch_depth(cfg)):
+        if stacked:
+            state, ms = mod.train_steps_scan_gather(
+                state, pool_x, pool_y, batch[0], cfg=cfg, tx=tx)
+            k = batch[0].shape[0]
+            logger.log_scan_steps(epoch, bi, spe, int(state.step), ms, k,
+                                  pts_per_step, n_chips)
+            bi += k
+            continue
+        if cfg.device_data:
+            state, m = mod.train_step_gather(state, pool_x, pool_y,
+                                             batch[0], cfg=cfg, tx=tx)
+        else:
+            state, m = mod.train_step(state, *batch, cfg=cfg, tx=tx)
+        logger.log_step(epoch, bi, spe, int(state.step), m,
+                        pts_per_step, n_chips)
+        bi += 1
+    return state
+
+
 def run_classification(cfg: ClassifyConfig,
                        epochs: Optional[int] = None) -> dict:
     """Configs 1-2: mirrors ``upstream:train_classification.py``."""
@@ -135,19 +176,20 @@ def run_classification(cfg: ClassifyConfig,
     logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    pool_te = replicate_tree(mesh, x_te) if cfg.device_data else None
+    pools = pool_te = None
+    if cfg.device_data:
+        pool_te = replicate_tree(mesh, x_te)
+        pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
-            for bi, (pts, lab) in enumerate(batch_iterator(
-                    (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
-                state, m = classify.train_step(state, pts, lab,
-                                               cfg=cfg, tx=tx)
-                logger.log_step(epoch, bi, spe, int(state.step), m,
-                                pts_per_step, n_chips)
+            t0 = time.perf_counter()
+            state = _single_net_epoch(
+                cfg, classify, state, tx, epoch, sharding, logger, spe,
+                pts_per_step, n_chips, pools=pools, arrays=(x_tr, y_tr))
+            t1 = time.perf_counter()
             ev = (eval_lib.evaluate_classifier_device(
                       state.params, state.bn_state, pool_te, y_te,
                       cfg.batch_size, cfg.num_classes)
@@ -156,8 +198,10 @@ def run_classification(cfg: ClassifyConfig,
                       state.params, state.bn_state, x_te, y_te,
                       cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
-            logger.log_epoch(epoch, **ev)
+            t2 = time.perf_counter()
             saver.save(cfg.out_dir, epoch, state)
+            logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
+                             ckpt_s=time.perf_counter() - t2)
     logger.close()
     return {"best_accuracy": best, "state": state}
 
@@ -177,19 +221,20 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    pools_te = (replicate_tree(mesh, (x_te, s_te, c_te))
-                if cfg.device_data else None)
+    pools = pools_te = None
+    if cfg.device_data:
+        pools_te = replicate_tree(mesh, (x_te, s_te, c_te))
+        pools = (*replicate_tree(mesh, (x_tr, s_tr)), len(s_tr))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
-            for bi, (pts, lab) in enumerate(batch_iterator(
-                    (x_tr, s_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
-                state, m = segment.train_step(state, pts, lab, cfg=cfg, tx=tx)
-                logger.log_step(epoch, bi, spe, int(state.step), m,
-                                pts_per_step, n_chips)
+            t0 = time.perf_counter()
+            state = _single_net_epoch(
+                cfg, segment, state, tx, epoch, sharding, logger, spe,
+                pts_per_step, n_chips, pools=pools, arrays=(x_tr, s_tr))
+            t1 = time.perf_counter()
             ev, table = (eval_lib.evaluate_segmenter_device(
                              state.params, state.bn_state, *pools_te,
                              s_te, c_te, cfg.batch_size)
@@ -198,8 +243,10 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                              state.params, state.bn_state, x_te, s_te,
                              c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
-            logger.log_epoch(epoch, **ev)
+            t2 = time.perf_counter()
             saver.save(cfg.out_dir, epoch, state)
+            logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
+                             ckpt_s=time.perf_counter() - t2)
     logger.close()
     return {"best_miou": best, "state": state, "category_miou": table}
 
@@ -336,19 +383,20 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
-    pool_te = replicate_tree(mesh, x_te) if cfg.device_data else None
+    pools = pool_te = None
+    if cfg.device_data:
+        pool_te = replicate_tree(mesh, x_te)
+        pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
         for epoch in range(epochs):
-            for bi, (pts, lab) in enumerate(batch_iterator(
-                    (x_tr, y_tr), cfg.batch_size, seed=cfg.seed, epoch=epoch,
-                    sharding=sharding, prefetch=_prefetch_depth(cfg))):
-                state, m = adv_perturb.train_step(state, pts, lab,
-                                                  cfg=cfg, tx=tx)
-                logger.log_step(epoch, bi, spe, int(state.step), m,
-                                pts_per_step, n_chips)
+            t0 = time.perf_counter()
+            state = _single_net_epoch(
+                cfg, adv_perturb, state, tx, epoch, sharding, logger, spe,
+                pts_per_step, n_chips, pools=pools, arrays=(x_tr, y_tr))
+            t1 = time.perf_counter()
             ev = (eval_lib.evaluate_classifier_device(
                       state.params, state.bn_state, pool_te, y_te,
                       cfg.batch_size, cfg.num_classes)
@@ -357,7 +405,9 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                       state.params, state.bn_state, x_te, y_te,
                       cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
-            logger.log_epoch(epoch, **ev)
+            t2 = time.perf_counter()
             saver.save(cfg.out_dir, epoch, state)
+            logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
+                             ckpt_s=time.perf_counter() - t2)
     logger.close()
     return {"best_accuracy": best, "state": state}

@@ -59,22 +59,26 @@ def loss_fn(params, bn_state, points, part_labels, cfg: SegmentConfig,
     return loss, (new_bn, acc)
 
 
+def _train_step_impl(state, points, part_labels, cfg: SegmentConfig, tx):
+    rng, k_aug = jax.random.split(state.rng)
+    points, part_labels = augment.chain_from_cfg(k_aug, cfg, points,
+                                                 part_labels)
+    (loss, (new_bn, acc)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, state.bn_state, points,
+                               part_labels, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    return state_lib.TrainState(new_params, new_bn, new_opt,
+                                state.step + 1, rng), \
+        {"loss": loss, "acc": acc}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
 def _train_step(state, points, part_labels, *, cfg: SegmentConfig, tx,
                 paths):
     with dispatch.path_context(paths):
-        rng, k_aug = jax.random.split(state.rng)
-        points, part_labels = augment.chain_from_cfg(k_aug, cfg, points,
-                                                     part_labels)
-        (loss, (new_bn, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.bn_state, points,
-                                   part_labels, cfg)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
-        return state_lib.TrainState(new_params, new_bn, new_opt,
-                                    state.step + 1, rng), \
-            {"loss": loss, "acc": acc}
+        return _train_step_impl(state, points, part_labels, cfg, tx)
 
 
 def train_step(state: state_lib.TrainState, points: jnp.ndarray,
@@ -84,6 +88,11 @@ def train_step(state: state_lib.TrainState, points: jnp.ndarray,
     gather. Pallas/bf16 path flags are jit-cache-keyed (see classify)."""
     return _train_step(state, points, part_labels, cfg=cfg, tx=tx,
                        paths=dispatch.current_paths())
+
+
+# Device-resident-pool variants (see state_lib.gather_step_fns).
+train_step_gather, train_steps_scan_gather = state_lib.gather_step_fns(
+    _train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("paths",))

@@ -76,3 +76,47 @@ def make_optimizer(lr: float, beta1: float, beta2: float,
 
 def metrics_to_host(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
     return {k: float(v) for k, v in metrics.items()}
+
+
+def gather_step_fns(impl):
+    """Build ``(train_step_gather, train_steps_scan_gather)`` for a
+    single-network trainer from its step body ``impl(state, points,
+    labels, cfg, tx)``.
+
+    The gather variants consume DEVICE-RESIDENT data pools: the host
+    transfers only ``[B]`` (or ``[K, B]`` for the scan form) int32 index
+    vectors per launch and the batch row-selection (the reference
+    Dataset's ``__getitem__``) runs on device via ``jnp.take`` — the
+    single-network twin of ``adversarial.train_step_gather``. Numerics
+    are identical to streaming the gathered rows from the host (pinned
+    by test_runner device-vs-host equality tests)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+    def _gather_jit(state, pool_x, pool_y, idx, *, cfg, tx, paths):
+        with dispatch.path_context(paths):
+            return impl(state, jnp.take(pool_x, idx, axis=0),
+                        jnp.take(pool_y, idx, axis=0), cfg, tx)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+    def _scan_gather_jit(state, pool_x, pool_y, idx, *, cfg, tx, paths):
+        with dispatch.path_context(paths):
+            def body(s, ib):
+                return impl(s, jnp.take(pool_x, ib, axis=0),
+                            jnp.take(pool_y, ib, axis=0), cfg, tx)
+
+            return jax.lax.scan(body, state, idx)
+
+    def train_step_gather(state, pool_x, pool_y, idx, *, cfg, tx):
+        return _gather_jit(state, pool_x, pool_y, idx, cfg=cfg, tx=tx,
+                           paths=dispatch.current_paths())
+
+    def train_steps_scan_gather(state, pool_x, pool_y, idx, *, cfg, tx):
+        return _scan_gather_jit(state, pool_x, pool_y, idx, cfg=cfg,
+                                tx=tx, paths=dispatch.current_paths())
+
+    return train_step_gather, train_steps_scan_gather

@@ -114,3 +114,55 @@ def test_resume_from_checkpoint(modelnet_root, tmp_path):
         else r2["state"].params["fc1"]["w"])
     assert p1.shape == p2.shape
     assert not np.array_equal(p1, p2)
+
+
+def test_classification_device_data_matches_host_path(modelnet_root,
+                                                      tmp_path):
+    """Single-network gather path (state_lib.gather_step_fns): the
+    device-resident pool + on-device row selection must train
+    bit-identically to host-assembled streaming, incl. with --scan K."""
+    import jax
+
+    kw = dict(batch_size=8, num_points=64, epochs=2, dataset=modelnet_root,
+              use_pallas=False, quiet=True, augment=True)
+    r_dev = runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "c_dev"), device_data=True, **kw))
+    r_scan = runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "c_scan"), device_data=True, scan=2, **kw))
+    r_host = runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "c_host"), device_data=False, **kw))
+    for r in (r_dev, r_scan):
+        for a, b in zip(jax.tree_util.tree_leaves(r["state"].params),
+                        jax.tree_util.tree_leaves(r_host["state"].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert r["best_accuracy"] == r_host["best_accuracy"]
+
+
+def test_segmentation_device_data_matches_host_path(shapenet_root,
+                                                    tmp_path):
+    import jax
+
+    kw = dict(batch_size=8, num_points=64, epochs=1, dataset=shapenet_root,
+              use_pallas=False, quiet=True, feature_transform=False)
+    r_dev = runner.run_segmentation(SegmentConfig(
+        out_dir=str(tmp_path / "s_dev"), device_data=True, scan=2, **kw))
+    r_host = runner.run_segmentation(SegmentConfig(
+        out_dir=str(tmp_path / "s_host"), device_data=False, **kw))
+    for a, b in zip(jax.tree_util.tree_leaves(r_dev["state"].params),
+                    jax.tree_util.tree_leaves(r_host["state"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert r_dev["best_miou"] == r_host["best_miou"]
+
+
+def test_adv_perturb_device_data_matches_host_path(modelnet_root, tmp_path):
+    import jax
+
+    kw = dict(batch_size=8, num_points=64, epochs=1, dataset=modelnet_root,
+              use_pallas=False, quiet=True, epsilon=0.05)
+    r_dev = runner.run_adv_perturb(AdvPerturbConfig(
+        out_dir=str(tmp_path / "p_dev"), device_data=True, scan=2, **kw))
+    r_host = runner.run_adv_perturb(AdvPerturbConfig(
+        out_dir=str(tmp_path / "p_host"), device_data=False, **kw))
+    for a, b in zip(jax.tree_util.tree_leaves(r_dev["state"].params),
+                    jax.tree_util.tree_leaves(r_host["state"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
