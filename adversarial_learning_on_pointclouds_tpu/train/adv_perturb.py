@@ -35,18 +35,27 @@ def make_tx(cfg: AdvPerturbConfig, steps_per_epoch: int):
 
 
 def _train_step_impl(state, points, labels, cfg: AdvPerturbConfig, tx):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
     rng, k_aug, k_drop1, k_drop2 = jax.random.split(state.rng, 4)
     points = augment.chain_from_cfg(k_aug, cfg, points)
 
     # FGSM attack: eval-mode forward for the input gradient (the attack
     # must not perturb BN running stats), matching the reference's
-    # model.eval() during attack generation.
+    # model.eval() during attack generation. The attack section forces
+    # the XLA path: the eval-mode Pallas megakernels (fused_stack_maxpool
+    # etc.) carry no custom VJP — they exist for inference, where nothing
+    # differentiates through them — and jax.grad through a raw
+    # pallas_call is unsupported. Trace-time flag, so this is baked into
+    # the compiled program (the post-attack supervised update still uses
+    # the custom-VJP training kernels under --pallas_train).
     def attack_loss(x):
         logp, _, _, _ = apply_classifier(
             state.params, state.bn_state, x, train=False)
         return losses.nll_loss(logp, labels)
 
-    x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
+    with dispatch.use_pallas(False):
+        x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
 
     # Standard supervised update on the perturbed batch.
     (loss, (new_bn, acc)), grads = jax.value_and_grad(

@@ -166,3 +166,17 @@ def test_adv_perturb_device_data_matches_host_path(modelnet_root, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(r_dev["state"].params),
                     jax.tree_util.tree_leaves(r_host["state"].params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adv_perturb_pallas_eval_attack_path(modelnet_root, tmp_path):
+    """Regression: with use_pallas=True (the CLI default) the FGSM attack
+    differentiates through the eval-mode forward; the eval megakernels
+    have no custom VJP, so the attack section must force the XLA path
+    (adv_perturb._train_step_impl) instead of crashing in jvp of a raw
+    pallas_call."""
+    cfg = AdvPerturbConfig(batch_size=8, num_points=64, epochs=1,
+                           out_dir=str(tmp_path / "advp_pallas"),
+                           dataset=modelnet_root, use_pallas=True,
+                           quiet=True, epsilon=0.05)
+    result = runner.run_adv_perturb(cfg)
+    assert 0.0 <= result["best_accuracy"] <= 1.0
