@@ -44,23 +44,20 @@ def host_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int,
     boolean validity mask appended (all-True for full batches; the final
     ragged batch is padded up to ``batch_size`` with pad rows masked out) —
     constant tuple arity for consumers.
+
+    Row selection delegates to ``host_index_iterator`` — ONE source of
+    truth for the permutation stream, so the device-data path (which
+    gathers ``pool[idx]`` on device from the index twin) is
+    bit-identical by construction.
     """
     n = arrays[0].shape[0]
-    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-    order = rng.permutation(n) if shuffle else np.arange(n)
-    for start in range(0, n, batch_size):
-        idx = order[start:start + batch_size]
-        if len(idx) < batch_size:
-            if drop_last:
-                return
-            pad = np.zeros(batch_size - len(idx), dtype=idx.dtype)
-            mask = np.concatenate([np.ones(len(idx), bool),
-                                   np.zeros(len(pad), bool)])
-            idx = np.concatenate([idx, pad])
+    for item in host_index_iterator(n, batch_size, shuffle, drop_last,
+                                    seed, epoch):
+        if drop_last:
+            yield tuple(a[item] for a in arrays)
         else:
-            mask = np.ones(batch_size, bool)
-        batch = tuple(a[idx] for a in arrays)
-        yield batch if drop_last else batch + (mask,)
+            idx, mask = item
+            yield tuple(a[idx] for a in arrays) + (mask,)
 
 
 def cycling_host_batches(arrays: Sequence[np.ndarray], batch_size: int,
@@ -81,12 +78,18 @@ def cycling_host_batches(arrays: Sequence[np.ndarray], batch_size: int,
 
 def host_index_iterator(n: int, batch_size: int, shuffle: bool = True,
                         drop_last: bool = True, seed: int = 0,
-                        epoch: int = 0) -> Iterator[np.ndarray]:
-    """Index-only twin of ``host_batch_iterator``: yields the SAME
-    ``[batch_size]`` index batches (same permutation stream) without
-    gathering rows on the host — for the device-resident data path, where
-    the gather happens inside the jitted step and only these int32
-    vectors cross the host->device link."""
+                        epoch: int = 0) -> Iterator:
+    """THE permutation stream: ``[batch_size]`` int32 row-index batches.
+
+    ``host_batch_iterator`` gathers rows from these on the host; the
+    device-resident data path ships them as-is and gathers ``pool[idx]``
+    inside the jitted step — same indices, bit-identical batches.
+
+    ``drop_last=True`` yields bare index vectors. ``drop_last=False``
+    yields ``(idx, mask)`` pairs (the final ragged batch is padded with
+    row 0 and the pad rows masked out; full batches get all-True masks) —
+    a consumer without the mask could not distinguish pad rows from a
+    genuine row-0 occurrence."""
     n_ = int(n)
     rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
     order = rng.permutation(n_) if shuffle else np.arange(n_)
@@ -95,9 +98,14 @@ def host_index_iterator(n: int, batch_size: int, shuffle: bool = True,
         if len(idx) < batch_size:
             if drop_last:
                 return
+            mask = np.concatenate([np.ones(len(idx), bool),
+                                   np.zeros(batch_size - len(idx), bool)])
             idx = np.concatenate(
                 [idx, np.zeros(batch_size - len(idx), idx.dtype)])
-        yield idx.astype(np.int32)
+        else:
+            mask = np.ones(batch_size, bool)
+        yield (idx.astype(np.int32) if drop_last
+               else (idx.astype(np.int32), mask))
 
 
 def cycling_host_indices(n: int, batch_size: int, seed: int = 0,

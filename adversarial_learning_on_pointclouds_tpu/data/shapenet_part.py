@@ -179,14 +179,19 @@ class ShapeNetPart:
             return pts, seg, self.category
         if self.points.shape[1] == num_points:
             return self.points, self.part_labels, self.category
+        rng = np.random.default_rng(seed)
         if self.points.shape[1] < num_points:
             # Upsample-with-replacement to the requested size (pool mode
-            # can ask for more points than the source holds).
-            rng = np.random.default_rng(seed)
-            idx = rng.choice(self.points.shape[1], num_points, replace=True)
-            return (self.points[:, idx], self.part_labels[:, idx],
+            # can ask for more points than the source holds). Per-shape
+            # index draws, like the downsample loop below and the
+            # reference's per-__getitem__ np.random.choice — one shared
+            # draw would stamp the identical duplication pattern on every
+            # shape in the dataset.
+            src = self.points.shape[1]
+            idx = rng.choice(src, (len(self), num_points), replace=True)
+            rows = np.arange(len(self))[:, None]
+            return (self.points[rows, idx], self.part_labels[rows, idx],
                     self.category)
-        rng = np.random.default_rng(seed)
         pts = np.empty((len(self), num_points, 3), np.float32)
         seg = np.empty((len(self), num_points), np.int32)
         for i in range(len(self)):

@@ -17,6 +17,9 @@ import numpy as np
 from adversarial_learning_on_pointclouds_tpu.data.loader import batch_iterator
 from adversarial_learning_on_pointclouds_tpu.train import classify, segment
 from adversarial_learning_on_pointclouds_tpu.utils import metrics
+from adversarial_learning_on_pointclouds_tpu.utils.logging import (
+    start_host_fetch,
+)
 
 
 def _eval_indices(n: int, batch_size: int):
@@ -69,13 +72,9 @@ def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
 
 
 def _fetch_async(out) -> None:
-    """Start non-blocking device->host copies of an eval step's outputs so
-    the end-of-loop ``np.asarray`` materializations find them host-resident
-    (a blocking readback pays a full tunnel round trip per array)."""
-    for v in out.values():
-        fetch = getattr(v, "copy_to_host_async", None)
-        if fetch is not None:
-            fetch()
+    """Start non-blocking device->host copies of an eval step's outputs
+    (shared helper — see ``utils.logging.start_host_fetch``)."""
+    start_host_fetch(out)
 
 
 def evaluate_classifier(params, bn_state, points: np.ndarray,

@@ -149,12 +149,22 @@ def batch_norm(p: Params, s: BnState, x: jnp.ndarray, train: bool,
         # One-pass moments: jnp.var reads x a second time after the mean
         # (profiled ~1.5 ms/step of stat-reduction fusions over the
         # [B,N,64] conv1 layers); E[x^2]-E[x]^2 lets XLA fuse both
-        # reductions into a single read. Post-matmul activations are
-        # zero-ish mean with O(1) variance, so the cancellation error is
-        # ~1e-7 relative — far inside the 1e-5 torch-parity budget.
-        mean = jnp.mean(x, axis=axes)
-        m2 = jnp.mean(jnp.square(x), axis=axes)
-        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+        # reductions into a single read. Raw E[x^2]-E[x]^2 cancels
+        # catastrophically when |mean| >> std (e.g. --no_normalize with
+        # clouds in an offset world frame: mean^2/var ~ 1e6 eats ~all
+        # fp32 bits), so the moments are taken about the RUNNING mean —
+        # var(x) = E[(x-c)^2] - E[x-c]^2 for any constant c; c tracks
+        # the activation mean after a few updates, the shift fuses into
+        # the same single read, and at init (c = 0) this is bitwise the
+        # raw form. (The Pallas training kernels keep raw one-pass
+        # moments: their inputs are post-BN activations, zero-mean by
+        # construction.)
+        c = jax.lax.stop_gradient(s["mean"])
+        xc = x - c
+        mean_c = jnp.mean(xc, axis=axes)
+        m2 = jnp.mean(jnp.square(xc), axis=axes)
+        var = jnp.maximum(m2 - jnp.square(mean_c), 0.0)
+        mean = mean_c + c
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_s = {

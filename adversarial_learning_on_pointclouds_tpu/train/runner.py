@@ -118,7 +118,8 @@ def _prefetch_depth(cfg) -> int:
 
 
 def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
-                      pts_per_step, n_chips, pools=None, arrays=None):
+                      pts_per_step, n_chips, step_h, pools=None,
+                      arrays=None):
     """One training epoch for a single-network trainer (configs 1-3, 5).
 
     Default (``cfg.device_data``): the train pools live in HBM
@@ -126,26 +127,37 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
     index vectors, and ``mod.train_step_gather`` selects the rows on
     device; with ``--scan K`` the stacked ``[K, B]`` index groups launch
     ``mod.train_steps_scan_gather``. ``--host_data`` streams assembled
-    batches from ``arrays`` instead (reference DataLoader model; scan
-    groups fall back to per-step launches). Both paths consume the same
-    permutation stream (``loader.host_index_iterator`` contract)."""
+    batches from ``arrays`` instead (reference DataLoader model; stacked
+    groups launch ``mod.train_steps_scan``). Both paths consume the same
+    permutation stream (``loader.host_index_iterator`` contract).
+
+    ``step_h`` is the HOST-side step counter (deterministic: initial step
+    + batches consumed); logging from it instead of ``int(state.step)``
+    avoids a blocking device readback per launch, which would serialize
+    launches and defeat the logger's pipelined readbacks. Returns
+    ``(state, step_h)``."""
     if cfg.device_data:
         pool_x, pool_y, n = pools
         src = ((i,) for i in loader.host_index_iterator(
             n, cfg.batch_size, seed=cfg.seed, epoch=epoch))
-        k_stack = cfg.scan
     else:
         src = loader.host_batch_iterator(arrays, cfg.batch_size,
                                          seed=cfg.seed, epoch=epoch)
-        k_stack = 0
     bi = 0
     for batch, stacked in loader.device_batches(
-            src, sharding, k_stack=k_stack, prefetch=_prefetch_depth(cfg)):
+            src, sharding, k_stack=cfg.scan,
+            prefetch=_prefetch_depth(cfg)):
         if stacked:
-            state, ms = mod.train_steps_scan_gather(
-                state, pool_x, pool_y, batch[0], cfg=cfg, tx=tx)
-            k = batch[0].shape[0]
-            logger.log_scan_steps(epoch, bi, spe, int(state.step), ms, k,
+            if cfg.device_data:
+                state, ms = mod.train_steps_scan_gather(
+                    state, pool_x, pool_y, batch[0], cfg=cfg, tx=tx)
+                k = batch[0].shape[0]
+            else:
+                state, ms = mod.train_steps_scan(state, *batch, cfg=cfg,
+                                                 tx=tx)
+                k = batch[0].shape[0]
+            step_h += k
+            logger.log_scan_steps(epoch, bi, spe, step_h, ms, k,
                                   pts_per_step, n_chips)
             bi += k
             continue
@@ -154,10 +166,10 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
                                              batch[0], cfg=cfg, tx=tx)
         else:
             state, m = mod.train_step(state, *batch, cfg=cfg, tx=tx)
-        logger.log_step(epoch, bi, spe, int(state.step), m,
-                        pts_per_step, n_chips)
+        step_h += 1
+        logger.log_step(epoch, bi, spe, step_h, m, pts_per_step, n_chips)
         bi += 1
-    return state
+    return state, step_h
 
 
 def run_classification(cfg: ClassifyConfig,
@@ -184,11 +196,13 @@ def run_classification(cfg: ClassifyConfig,
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
+        step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state = _single_net_epoch(
+            state, step_h = _single_net_epoch(
                 cfg, classify, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, pools=pools, arrays=(x_tr, y_tr))
+                pts_per_step, n_chips, step_h, pools=pools,
+                arrays=(x_tr, y_tr))
             t1 = time.perf_counter()
             ev = (eval_lib.evaluate_classifier_device(
                       state.params, state.bn_state, pool_te, y_te,
@@ -229,11 +243,13 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
+        step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state = _single_net_epoch(
+            state, step_h = _single_net_epoch(
                 cfg, segment, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, pools=pools, arrays=(x_tr, s_tr))
+                pts_per_step, n_chips, step_h, pools=pools,
+                arrays=(x_tr, s_tr))
             t1 = time.perf_counter()
             ev, table = (eval_lib.evaluate_segmenter_device(
                              state.params, state.bn_state, *pools_te,
@@ -308,6 +324,7 @@ def run_adversarial(cfg: AdversarialConfig,
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
+        step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
             if cfg.device_data:
@@ -342,11 +359,13 @@ def run_adversarial(cfg: AdversarialConfig,
                         state, *batch, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
                 if stacked:
                     k = batch[0].shape[0]
-                    logger.log_scan_steps(epoch, bi, spe, int(state.step),
-                                          ms, k, pts_per_step, n_chips)
+                    step_h += k
+                    logger.log_scan_steps(epoch, bi, spe, step_h, ms, k,
+                                          pts_per_step, n_chips)
                     bi += k
                 else:
-                    logger.log_step(epoch, bi, spe, int(state.step), m,
+                    step_h += 1
+                    logger.log_step(epoch, bi, spe, step_h, m,
                                     pts_per_step, n_chips)
                     bi += 1
             t1 = time.perf_counter()
@@ -391,11 +410,13 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
             checkpoint.AsyncSaver() as saver:
+        step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state = _single_net_epoch(
+            state, step_h = _single_net_epoch(
                 cfg, adv_perturb, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, pools=pools, arrays=(x_tr, y_tr))
+                pts_per_step, n_chips, step_h, pools=pools,
+                arrays=(x_tr, y_tr))
             t1 = time.perf_counter()
             ev = (eval_lib.evaluate_classifier_device(
                       state.params, state.bn_state, pool_te, y_te,

@@ -91,8 +91,8 @@ def train_step(state: state_lib.TrainState, points: jnp.ndarray,
 
 
 # Device-resident-pool variants (see state_lib.gather_step_fns).
-train_step_gather, train_steps_scan_gather = state_lib.gather_step_fns(
-    _train_step_impl)
+train_step_gather, train_steps_scan_gather, train_steps_scan = \
+    state_lib.gather_step_fns(_train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("paths",))

@@ -79,17 +79,19 @@ def metrics_to_host(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
 
 
 def gather_step_fns(impl):
-    """Build ``(train_step_gather, train_steps_scan_gather)`` for a
-    single-network trainer from its step body ``impl(state, points,
-    labels, cfg, tx)``.
+    """Build ``(train_step_gather, train_steps_scan_gather,
+    train_steps_scan)`` for a single-network trainer from its step body
+    ``impl(state, points, labels, cfg, tx)``.
 
     The gather variants consume DEVICE-RESIDENT data pools: the host
     transfers only ``[B]`` (or ``[K, B]`` for the scan form) int32 index
     vectors per launch and the batch row-selection (the reference
     Dataset's ``__getitem__``) runs on device via ``jnp.take`` — the
-    single-network twin of ``adversarial.train_step_gather``. Numerics
-    are identical to streaming the gathered rows from the host (pinned
-    by test_runner device-vs-host equality tests)."""
+    single-network twin of ``adversarial.train_step_gather``.
+    ``train_steps_scan`` is the host-data scan form: K stacked
+    ``[K, B, ...]`` data batches per launch (so ``--scan`` works with
+    ``--host_data`` too). Numerics are identical across all variants
+    (pinned by test_runner device-vs-host equality tests)."""
     import functools
 
     import jax.numpy as jnp
@@ -111,6 +113,14 @@ def gather_step_fns(impl):
 
             return jax.lax.scan(body, state, idx)
 
+    @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+    def _scan_jit(state, xs, ys, *, cfg, tx, paths):
+        with dispatch.path_context(paths):
+            def body(s, xy):
+                return impl(s, xy[0], xy[1], cfg, tx)
+
+            return jax.lax.scan(body, state, (xs, ys))
+
     def train_step_gather(state, pool_x, pool_y, idx, *, cfg, tx):
         return _gather_jit(state, pool_x, pool_y, idx, cfg=cfg, tx=tx,
                            paths=dispatch.current_paths())
@@ -119,4 +129,8 @@ def gather_step_fns(impl):
         return _scan_gather_jit(state, pool_x, pool_y, idx, cfg=cfg,
                                 tx=tx, paths=dispatch.current_paths())
 
-    return train_step_gather, train_steps_scan_gather
+    def train_steps_scan(state, xs, ys, *, cfg, tx):
+        return _scan_jit(state, xs, ys, cfg=cfg, tx=tx,
+                         paths=dispatch.current_paths())
+
+    return train_step_gather, train_steps_scan_gather, train_steps_scan

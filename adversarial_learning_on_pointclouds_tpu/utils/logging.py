@@ -17,6 +17,23 @@ import time
 from typing import Dict, Optional
 
 
+def start_host_fetch(values: Dict[str, "object"]) -> Dict[str, "object"]:
+    """Kick off non-blocking device->host copies for every dict value.
+
+    The copies queue behind the step's compute and land while later
+    launches execute; by materialization time the values are
+    host-resident and the whole group reads back in ~one round trip
+    instead of one PER value (each blocking ``float()`` of a device
+    scalar pays a full tunnel RTT — profiled ~190 ms/step of the
+    adversarial runner's loop, 13x the 14 ms compute). Shared by the
+    metric logger's pipelined rows and eval's per-batch outputs."""
+    for v in values.values():
+        fetch = getattr(v, "copy_to_host_async", None)
+        if fetch is not None:
+            fetch()
+    return values
+
+
 class MetricLogger:
     """``lag`` defers metric device->host readbacks: ``log_step`` enqueues
     the step's (still on-device) metric scalars and only materializes
@@ -47,21 +64,7 @@ class MetricLogger:
                 self._tb = None
         self._step_t0 = time.perf_counter()
 
-    @staticmethod
-    def _start_fetch(metrics: Dict[str, "object"]) -> Dict[str, "object"]:
-        """Kick off non-blocking device->host copies for every metric.
-
-        The copies queue behind the step's compute and land while later
-        steps execute; by flush time the values are host-resident and the
-        whole row materializes in ~one round trip instead of one PER
-        metric (each blocking ``float()`` of a device scalar pays a full
-        tunnel RTT — profiled ~190 ms/step of the adversarial runner's
-        loop, 13x the 14 ms compute)."""
-        for v in metrics.values():
-            fetch = getattr(v, "copy_to_host_async", None)
-            if fetch is not None:
-                fetch()
-        return metrics
+    _start_fetch = staticmethod(start_host_fetch)
 
     def _emit(self, rows, metrics, headers) -> None:
         """Materialize one launch group: ``rows``/``headers`` are lists

@@ -23,11 +23,21 @@ def _tpu_mode() -> bool:
     other invocation is forced onto the emulated 8-device CPU mesh."""
     if os.environ.get("POINTTPU_TPU_TESTS") == "1":
         return True
+
+    def _selects_tpu(expr: str) -> bool:
+        # Require the bare marker to be POSITIVELY selected: a substring
+        # test would treat `-m "not tpu"` (the natural way to exclude the
+        # chip suite) as TPU mode and run the whole CPU suite against the
+        # real chip. Cheap parse: "tpu" as a word, not preceded by "not".
+        toks = expr.replace("(", " ").replace(")", " ").split()
+        return any(t == "tpu" and (i == 0 or toks[i - 1] != "not")
+                   for i, t in enumerate(toks))
+
     argv = sys.argv
     for i, a in enumerate(argv):
-        if a == "-m" and i + 1 < len(argv) and "tpu" in argv[i + 1]:
+        if a == "-m" and i + 1 < len(argv) and _selects_tpu(argv[i + 1]):
             return True
-        if a.startswith("-m") and "tpu" in a:
+        if a.startswith("-m") and a != "-m" and _selects_tpu(a[2:]):
             return True
     return False
 

@@ -164,12 +164,16 @@ def test_adversarial_scan_matches_single_steps():
                                           cfg=cfg, g_tx=g_tx, d_tx=d_tx)
         seq_losses.append(float(m["loss_g"]))
     assert int(s_scan.step) == int(s_seq.step) == K
+    # Losses only, per CLAUDE.md: the scan body and the unrolled step are
+    # separately compiled fp paths, and Adam turns near-zero-grad
+    # reassociation noise into ±lr param deltas — post-update params are
+    # not a stable equivalence signal. The per-step loss trajectory (all
+    # K steps, each computed from the previous step's updated params)
+    # transitively pins the updates at working precision.
     np.testing.assert_allclose(np.asarray(ms["loss_g"]), seq_losses,
                                rtol=1e-5)
-    for pa, pb in zip(jax.tree_util.tree_leaves(s_scan.g_params),
-                      jax.tree_util.tree_leaves(s_seq.g_params)):
-        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
-                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ms["loss_d"][-1]),
+                               float(m["loss_d"]), rtol=1e-5)
 
 
 def test_run_adversarial_with_scan(tmp_path):
