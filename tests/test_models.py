@@ -107,3 +107,26 @@ def test_permutation_invariance(rng_key):
     f1, _, _, _ = apply_encoder(params, state, x, train=False)
     f2, _, _, _ = apply_encoder(params, state, x[:, perm], train=False)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_batch_norm_variance_no_cancellation_after_warmup():
+    """One-pass BN moments are taken about the RUNNING mean: once the
+    running stats have adapted, the variance of data with |mean| >> std
+    (e.g. world-frame clouds under --no_normalize) stays accurate instead
+    of losing ~all fp32 bits to E[x^2]-E[x]^2 cancellation."""
+    import jax.numpy as jnp
+
+    from adversarial_learning_on_pointclouds_tpu.models import core
+
+    rng = np.random.default_rng(0)
+    x = (1000.0 + rng.standard_normal((16, 32, 8)) * 0.5).astype(np.float32)
+    p = {"scale": jnp.ones(8), "bias": jnp.zeros(8)}
+    s = {"mean": jnp.zeros(8), "var": jnp.ones(8)}
+    for _ in range(60):  # momentum 0.1 -> running mean ~ true mean
+        _, s = core.batch_norm(p, s, jnp.asarray(x), train=True)
+    _, s2 = core.batch_norm(p, s, jnp.asarray(x), train=True)
+    # Recover the batch variance this step observed from the EMA update.
+    var_obs = (np.asarray(s2["var"]) - 0.9 * np.asarray(s["var"])) / 0.1
+    var_true = x.reshape(-1, 8).var(axis=0, ddof=1)
+    np.testing.assert_allclose(var_obs, var_true, rtol=5e-2)
+    assert (var_obs > 0.1).all()  # raw one-pass collapses these to ~0
