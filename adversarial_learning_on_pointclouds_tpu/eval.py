@@ -54,20 +54,22 @@ def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
                               categories: np.ndarray, batch_size: int = 32,
                               ) -> Tuple[Dict[str, float], Dict[str, float]]:
     """``evaluate_segmenter`` against device-resident test pools via one
-    compiled scan (``segment.eval_scan``). ``part_labels``/``categories``
-    are the host copies used for the accuracy/per-category table."""
+    compiled scan (``segment.eval_scan``). Only per-shape reductions
+    (IoU + correct-point counts) cross the device->host link; the
+    per-category table derives from the IoU vector + the host
+    ``categories`` copy (``part_labels`` supplies point count/shape n)."""
     n = len(part_labels)
     idx, mask = _eval_indices(n, batch_size)
     outs = segment.eval_scan(params, bn_state, pool_x, pool_s, pool_c, idx)
     npts = part_labels.shape[-1]
-    pred = np.asarray(outs["pred"]).reshape(-1, npts)[mask]
     iou_all = np.asarray(outs["ious"]).reshape(-1)[mask]
+    correct = np.asarray(outs["correct"]).reshape(-1)[mask]
     summary = {
         "instance_miou": float(iou_all.mean()),
-        "point_accuracy": float((pred == part_labels).mean()),
+        "point_accuracy": float(correct.sum() / (n * npts)),
         "num_shapes": float(n),
     }
-    table = metrics.category_miou(pred, part_labels, categories)
+    table = metrics.category_miou_from_ious(iou_all, categories)
     return summary, table
 
 

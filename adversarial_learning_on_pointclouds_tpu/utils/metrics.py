@@ -71,8 +71,17 @@ def instance_miou(pred_parts: np.ndarray, gt_parts: np.ndarray,
 def category_miou(pred_parts: np.ndarray, gt_parts: np.ndarray,
                   categories: np.ndarray) -> Dict[str, float]:
     """Per-category table (mean shape IoU within each present category)."""
-    ious = shape_ious(pred_parts, gt_parts, categories)
-    categories = np.asarray(categories)
+    return category_miou_from_ious(
+        shape_ious(pred_parts, gt_parts, categories), categories)
+
+
+def category_miou_from_ious(ious: np.ndarray, categories: np.ndarray,
+                            ) -> Dict[str, float]:
+    """The per-category table from precomputed per-shape IoUs — used by
+    the device eval path, which reads back only the [B] IoU vector
+    (computed on device by ``shape_ious_device``) instead of the full
+    per-point prediction tensor."""
+    ious, categories = np.asarray(ious), np.asarray(categories)
     return {
         CATEGORY_NAMES[c]: float(ious[categories == c].mean())
         for c in np.unique(categories)
