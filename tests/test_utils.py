@@ -136,3 +136,21 @@ def test_synthetic_modelnet_schema(tmp_path):
         assert f["data"].shape[1:] == (128, 3)
         assert f["label"].dtype == np.uint8
         assert f["label"].shape[1] == 1
+
+
+def test_render_cloud_script(shapenet_root, tmp_path):
+    """Headless PNG renderer (the reference viewer's offline analogue)."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "r.png")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "render_cloud.py"),
+         "--dataset", shapenet_root, "--index", "1", "--out", out],
+        env=env, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert os.path.getsize(out) > 5000
