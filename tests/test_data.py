@@ -164,3 +164,27 @@ def test_host_index_iterator_matches_batch_stream():
     for _ in range(8):  # crosses the epoch boundary (3 batches/pass)
         (r,), i = next(stream), next(istream)
         np.testing.assert_array_equal(r, x[i])
+
+
+def test_host_index_iterator_masked_padding():
+    """drop_last=False yields (idx, mask) pairs — pad rows are index 0
+    but masked out, so a consumer can't confuse them with genuine row 0;
+    the batch iterator's padded+mask protocol composes from this."""
+    from adversarial_learning_on_pointclouds_tpu.data.loader import (
+        host_batch_iterator, host_index_iterator,
+    )
+
+    x = np.arange(10, dtype=np.float32).reshape(10, 1)
+    items = list(host_index_iterator(10, 4, shuffle=False, drop_last=False))
+    assert len(items) == 3
+    for idx, mask in items[:-1]:
+        assert mask.all() and idx.dtype == np.int32
+    idx, mask = items[-1]
+    np.testing.assert_array_equal(mask, [True, True, False, False])
+    np.testing.assert_array_equal(idx, [8, 9, 0, 0])
+
+    batches = list(host_batch_iterator((x,), 4, shuffle=False,
+                                       drop_last=False))
+    for (row, m), (idx, mask) in zip(batches, items):
+        np.testing.assert_array_equal(row, x[idx])
+        np.testing.assert_array_equal(m, mask)
