@@ -180,3 +180,50 @@ def test_adv_perturb_pallas_eval_attack_path(modelnet_root, tmp_path):
                            quiet=True, epsilon=0.05)
     result = runner.run_adv_perturb(cfg)
     assert 0.0 <= result["best_accuracy"] <= 1.0
+
+
+def test_eval_cli_scripts_in_process(modelnet_root, shapenet_root,
+                                     tmp_path, monkeypatch, capsys):
+    """The three eval CLI surfaces (classification, segmentation,
+    robustness) run against fresh 1-epoch checkpoints — in-process so the
+    conftest CPU mesh applies; covers arg parsing, checkpoint restore,
+    and the report formatting end-to-end."""
+    import sys
+
+    from scripts import (
+        eval_classification, eval_robustness, eval_segmentation,
+    )
+
+    cls_dir = str(tmp_path / "cls")
+    runner.run_classification(ClassifyConfig(
+        batch_size=8, num_points=64, epochs=1, out_dir=cls_dir,
+        dataset=modelnet_root, use_pallas=False, quiet=True))
+    monkeypatch.setattr(sys, "argv", [
+        "eval_classification.py", "--model", cls_dir, "--dataset",
+        modelnet_root, "--batchSize", "8", "--num_points", "64",
+        "--no_pallas"])
+    eval_classification.main()
+    out = capsys.readouterr().out
+    assert "accuracy" in out
+
+    seg_dir = str(tmp_path / "seg")
+    runner.run_segmentation(SegmentConfig(
+        batch_size=8, num_points=64, epochs=1, out_dir=seg_dir,
+        dataset=shapenet_root, use_pallas=False, quiet=True))
+    ply_dir = str(tmp_path / "ply")
+    monkeypatch.setattr(sys, "argv", [
+        "eval_segmentation.py", "--model", seg_dir, "--dataset",
+        shapenet_root, "--batchSize", "8", "--num_points", "64",
+        "--no_pallas", "--export_ply", ply_dir])
+    eval_segmentation.main()
+    out = capsys.readouterr().out
+    assert "mIoU" in out or "miou" in out
+    assert os.listdir(ply_dir)
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_robustness.py", "--model", cls_dir, "--dataset",
+        modelnet_root, "--batchSize", "8", "--num_points", "64",
+        "--epsilons", "0.0", "0.05"])
+    eval_robustness.main()
+    out = capsys.readouterr().out
+    assert "eps" in out
