@@ -227,3 +227,37 @@ def test_eval_cli_scripts_in_process(modelnet_root, shapenet_root,
     eval_robustness.main()
     out = capsys.readouterr().out
     assert "eps" in out
+
+
+def test_train_cli_scripts_in_process(modelnet_root, shapenet_root,
+                                      tmp_path, monkeypatch, capsys):
+    """The four train CLI surfaces end-to-end on tiny configs (in-process
+    so the conftest CPU mesh applies): reference flag names -> config ->
+    runner -> final report line."""
+    import sys
+
+    from scripts import (
+        train_adv_perturb, train_adversarial, train_classification,
+        train_segmentation,
+    )
+
+    runs = [
+        (train_classification, "final best accuracy", [
+            "--dataset", modelnet_root, "--outf", str(tmp_path / "c")]),
+        (train_segmentation, "final best instance mIoU", [
+            "--dataset", shapenet_root, "--outf", str(tmp_path / "s")]),
+        (train_adversarial, "final best", [
+            "--dataset", shapenet_root, "--outf", str(tmp_path / "a"),
+            "--labeled_ratio", "0.5"]),
+        (train_adv_perturb, "final best accuracy", [
+            "--dataset", modelnet_root, "--outf", str(tmp_path / "p"),
+            "--epsilon", "0.05"]),
+    ]
+    for mod, needle, extra in runs:
+        monkeypatch.setattr(sys, "argv", [
+            mod.__name__.split(".")[-1] + ".py", "--nepoch", "1",
+            "--batchSize", "8", "--num_points", "64", "--no_pallas",
+            "--quiet"] + extra)
+        mod.main()
+        out = capsys.readouterr().out
+        assert needle in out, (mod.__name__, out[-500:])
