@@ -122,9 +122,14 @@ def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
     return feat, trans, trans_feat, new_state
 
 
-def _ema_stats(s, batch_mean, batch_var_biased, x):
-    """torch-style running-stat update from kernel batch statistics."""
-    m = x.shape[0] * x.shape[1]
+def _ema_stats(s, batch_mean, batch_var_biased, x=None, m=None):
+    """torch-style running-stat update from kernel batch statistics.
+
+    ``m`` is the reduction count behind the biased variance (``B*N`` for
+    per-point BNs — pass the activation ``x`` and it is derived — or
+    ``B`` for the batch-axis fc-head BNs)."""
+    if m is None:
+        m = x.shape[0] * x.shape[1]
     unbiased = batch_var_biased * (m / max(m - 1, 1))
     mom = core.BN_MOMENTUM
     return {

@@ -102,6 +102,9 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
         # opt-in via use_pallas(training=True); parity is pinned by
         # test_fc_head_train_kernel_parity and compiled on chip by
         # test_fc_head_train_compiled.
+        from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+            _ema_stats,
+        )
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             fc_head_train,
         )
@@ -112,8 +115,10 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
             params["fc2"]["w"], params["fc2"]["b"],
             params["bn_fc2"]["scale"], params["bn_fc2"]["bias"],
             params["fc3"]["w"], params["fc3"]["b"])
-        new_state["bn_fc1"] = _fc_ema(state["bn_fc1"], mu1, v1, h.shape[0])
-        new_state["bn_fc2"] = _fc_ema(state["bn_fc2"], mu2, v2, h.shape[0])
+        new_state["bn_fc1"] = _ema_stats(state["bn_fc1"], mu1, v1,
+                                         m=h.shape[0])
+        new_state["bn_fc2"] = _ema_stats(state["bn_fc2"], mu2, v2,
+                                         m=h.shape[0])
     else:
         for i in range(1, 3):
             h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(
@@ -122,16 +127,3 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
         h = core.dense(params["fc3"], h)
     iden = jnp.eye(k, dtype=h.dtype).reshape(-1)
     return (h + iden).reshape(-1, k, k), new_state
-
-
-def _fc_ema(s, batch_mean, batch_var_biased, m: int):
-    """torch-style running-stat update for the fc-head BNs (reduction is
-    over the batch axis only, so the unbiased correction uses B)."""
-    unbiased = batch_var_biased * (m / max(m - 1, 1))
-    mom = core.BN_MOMENTUM
-    return {
-        "mean": (1.0 - mom) * s["mean"]
-                + mom * jax.lax.stop_gradient(batch_mean),
-        "var": (1.0 - mom) * s["var"]
-               + mom * jax.lax.stop_gradient(unbiased),
-    }

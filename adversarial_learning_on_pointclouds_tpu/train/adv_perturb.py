@@ -37,7 +37,10 @@ def make_tx(cfg: AdvPerturbConfig, steps_per_epoch: int):
 def _train_step_impl(state, points, labels, cfg: AdvPerturbConfig, tx):
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
 
-    rng, k_aug, k_drop1, k_drop2 = jax.random.split(state.rng, 4)
+    # NB the 4-way split is part of the pinned RNG stream (determinism
+    # tests) — the third key is reserved for a train-mode attack forward's
+    # dropout, which the eval-mode attack does not consume.
+    rng, k_aug, _k_attack_drop, k_drop2 = jax.random.split(state.rng, 4)
     points = augment.chain_from_cfg(k_aug, cfg, points)
 
     # FGSM attack: eval-mode forward for the input gradient (the attack

@@ -151,11 +151,10 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
             if cfg.device_data:
                 state, ms = mod.train_steps_scan_gather(
                     state, pool_x, pool_y, batch[0], cfg=cfg, tx=tx)
-                k = batch[0].shape[0]
             else:
                 state, ms = mod.train_steps_scan(state, *batch, cfg=cfg,
                                                  tx=tx)
-                k = batch[0].shape[0]
+            k = batch[0].shape[0]
             step_h += k
             logger.log_scan_steps(epoch, bi, spe, step_h, ms, k,
                                   pts_per_step, n_chips)
