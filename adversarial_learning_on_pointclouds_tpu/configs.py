@@ -74,6 +74,11 @@ class BaseConfig:
     num_devices: int = 0          # 0 -> all visible devices (DP mesh)
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
     quiet: bool = False           # --quiet (stdout parity mode)
+    log_lag: int = 2              # --log_lag: defer per-step metric
+                                  #   readbacks N launches so they overlap
+                                  #   device execution; 0 = strictly
+                                  #   synchronous per-batch prints (the
+                                  #   reference's stdout timing)
     workers: int = 0              # --workers (host prefetch threads)
     device_data: bool = True      # stage the train pools in device HBM
                                   #   once and gather batches on device
@@ -193,6 +198,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
+    p.add_argument("--log_lag", type=int, default=2,
+                   help="defer per-step metric readbacks this many "
+                        "launches (overlaps device execution); 0 = "
+                        "strictly synchronous per-batch prints (the "
+                        "reference behavior)")
     p.add_argument("--workers", type=int, default=0, help="host loader threads")
     p.add_argument("--host_data", action="store_true",
                    help="stream assembled batches from the host (the "
@@ -227,6 +237,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         resume_full=a.resume_full,
         profile_dir=a.profile_dir,
         quiet=a.quiet,
+        log_lag=a.log_lag,
         workers=a.workers,
         device_data=not a.host_data,
         num_devices=a.num_devices,

@@ -79,6 +79,17 @@ def _fetch_async(out) -> None:
     start_host_fetch(out)
 
 
+def _host_masks(n: int, batch_size: int):
+    """Host-side twin of the validity masks ``host_index_iterator``
+    appends at ``drop_last=False``: positional (all-True except the final
+    ragged batch, whose pad rows are False), so they can be recomputed
+    from ``n`` alone — reading ``batch[-1]`` back would pay a per-batch
+    device->host round trip inside the enqueue loop for a mask the host
+    itself just produced."""
+    for start in range(0, n, batch_size):
+        yield np.arange(batch_size) < (n - start)
+
+
 def evaluate_classifier(params, bn_state, points: np.ndarray,
                         labels: np.ndarray, batch_size: int = 32,
                         num_classes: int = 40) -> Dict[str, float]:
@@ -88,10 +99,11 @@ def evaluate_classifier(params, bn_state, points: np.ndarray,
     # (expensive through a tunneled chip) overlap the compute instead of
     # serializing it.
     pending = []
-    for batch in batch_iterator((points, labels), batch_size,
-                                shuffle=False, drop_last=False):
+    for batch, mask in zip(
+            batch_iterator((points, labels), batch_size,
+                           shuffle=False, drop_last=False),
+            _host_masks(len(labels), batch_size)):
         pts, lab = batch[0], batch[1]
-        mask = np.asarray(batch[2]) if len(batch) == 3 else None
         out = classify.eval_step(params, bn_state, pts, lab)
         _fetch_async(out)
         pending.append((out["pred"], lab, mask))
@@ -117,10 +129,11 @@ def evaluate_segmenter(params, bn_state, points: np.ndarray,
     # Same deferred-readback pipelining as evaluate_classifier: enqueue
     # every batch's forward first, materialize afterwards.
     pending = []
-    for batch in batch_iterator((points, part_labels, categories),
-                                batch_size, shuffle=False, drop_last=False):
+    for batch, mask in zip(
+            batch_iterator((points, part_labels, categories),
+                           batch_size, shuffle=False, drop_last=False),
+            _host_masks(len(part_labels), batch_size)):
         pts, lab, cat = batch[0], batch[1], batch[2]
-        mask = np.asarray(batch[3]) if len(batch) == 4 else None
         out = segment.eval_step(params, bn_state, pts, lab, cat)
         _fetch_async(out)
         pending.append((out, lab, cat, mask))

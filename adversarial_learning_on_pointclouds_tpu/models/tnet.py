@@ -114,7 +114,11 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
             params["bn_fc1"]["scale"], params["bn_fc1"]["bias"],
             params["fc2"]["w"], params["fc2"]["b"],
             params["bn_fc2"]["scale"], params["bn_fc2"]["bias"],
-            params["fc3"]["w"], params["fc3"]["b"])
+            params["fc3"]["w"], params["fc3"]["b"],
+            # Running means center the kernel's one-pass moments (same
+            # cancellation guard as core.batch_norm; z1/z2 have nonzero
+            # means — h is max-pooled ReLU features).
+            rm1=state["bn_fc1"]["mean"], rm2=state["bn_fc2"]["mean"])
         new_state["bn_fc1"] = _ema_stats(state["bn_fc1"], mu1, v1,
                                          m=h.shape[0])
         new_state["bn_fc2"] = _ema_stats(state["bn_fc2"], mu2, v2,

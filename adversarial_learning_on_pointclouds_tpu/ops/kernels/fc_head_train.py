@@ -20,12 +20,22 @@ runs each chain as ONE forward and ONE backward ``pallas_call`` with
   does both BN layers' backward (ReLU', batch-axis stat reductions, dw_i,
   dh_i) in one pass from the z stashes.
 
-BN math matches ``core.batch_norm`` exactly (one-pass E[x^2]-E[x]^2
-moments, biased variance for normalization, eps=1e-5); the caller applies
-the torch running-stat EMA from the returned (mu, var_biased) pairs and
-adds the flattened-identity bias of fc3 outside. Parity:
-``tests/test_kernels.py::test_fc_head_train_*`` vs. the layerwise jnp
-composition.
+BN math matches ``core.batch_norm`` exactly: one-pass moments taken
+about the RUNNING mean (``rm1``/``rm2``; var(x) = E[(x-c)^2] - E[x-c]^2
+for any constant c) so the shifted-activation cancellation guard applies
+to this path too — z1 = h@w1+b1 over max-pooled ReLU features has a
+decidedly nonzero mean, so the raw E[x^2]-E[x]^2 form would lose
+precision as activation means drift; with rm=0 (init) the centered form
+is bitwise the raw form. Biased variance normalizes, eps=1e-5. The
+caller applies the torch running-stat EMA from the returned
+(mu, var_biased) pairs and adds the flattened-identity bias of fc3
+outside. The stat outputs are NON-DIFFERENTIABLE auxiliaries: the
+custom-VJP backward consumes only the primary output's cotangent and
+drops the stats' (they feed the stop-gradient EMA — ``_ema_stats``
+stop-gradients them at the only call site; any future consumer that
+wants gradients through batch statistics must NOT use this kernel).
+Parity: ``tests/test_kernels.py::test_fc_head_train_*`` vs. the
+layerwise jnp composition.
 """
 
 from __future__ import annotations
@@ -57,14 +67,17 @@ def _mxu_dot_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _bn_fwd(z):
-    """One-pass batch-axis moments + normalizer (matches core.batch_norm)."""
+def _bn_fwd(z, c):
+    """One-pass batch-axis moments about the constant ``c`` (the running
+    mean, [1, C]) + normalizer — matches ``core.batch_norm``'s centered
+    form exactly; bitwise the raw E[x^2]-E[x]^2 form when ``c == 0``."""
     b = z.shape[0]
-    mu = jnp.sum(z, axis=0, keepdims=True) / b
-    m2 = jnp.sum(z * z, axis=0, keepdims=True) / b
-    var = jnp.maximum(m2 - mu * mu, 0.0)
+    zc = z - c
+    mu_c = jnp.sum(zc, axis=0, keepdims=True) / b
+    m2 = jnp.sum(zc * zc, axis=0, keepdims=True) / b
+    var = jnp.maximum(m2 - mu_c * mu_c, 0.0)
     inv = jax.lax.rsqrt(var + BN_EPS)
-    return mu, var, inv
+    return mu_c + c, var, inv
 
 
 # ---------------------------------------------------------------------------
@@ -73,14 +86,15 @@ def _bn_fwd(z):
 
 def _fwd_kernel(h_ref, w1_ref, b1_ref, g1_ref, be1_ref,
                 w2_ref, b2_ref, g2_ref, be2_ref, w3_ref, b3_ref,
+                rm1_ref, rm2_ref,
                 out_ref, z1_ref, z2_ref,
                 mu1_ref, var1_ref, inv1_ref, mu2_ref, var2_ref, inv2_ref):
     h = h_ref[...].astype(jnp.float32)
     z1 = _mxu_dot(h, w1_ref[...]) + b1_ref[...]
-    mu1, var1, inv1 = _bn_fwd(z1)
+    mu1, var1, inv1 = _bn_fwd(z1, rm1_ref[...])
     h1 = jnp.maximum((z1 - mu1) * (inv1 * g1_ref[...]) + be1_ref[...], 0.0)
     z2 = _mxu_dot(h1, w2_ref[...]) + b2_ref[...]
-    mu2, var2, inv2 = _bn_fwd(z2)
+    mu2, var2, inv2 = _bn_fwd(z2, rm2_ref[...])
     h2 = jnp.maximum((z2 - mu2) * (inv2 * g2_ref[...]) + be2_ref[...], 0.0)
     out = _mxu_dot(h2, w3_ref[...]) + b3_ref[...]
     out_ref[...] = out.astype(out_ref.dtype)
@@ -90,7 +104,7 @@ def _fwd_kernel(h_ref, w1_ref, b1_ref, g1_ref, be1_ref,
     mu2_ref[...], var2_ref[...], inv2_ref[...] = mu2, var2, inv2
 
 
-def _fwd_call(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
+def _fwd_call(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, rm1, rm2):
     bsz = h.shape[0]
     c1, c2, c3 = w1.shape[1], w2.shape[1], w3.shape[1]
     full = lambda shape: pl.BlockSpec(shape, lambda: (0, 0),  # noqa: E731
@@ -101,7 +115,8 @@ def _fwd_call(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
         in_specs=[full(h.shape), full(w1.shape), full((1, c1)),
                   full((1, c1)), full((1, c1)), full(w2.shape),
                   full((1, c2)), full((1, c2)), full((1, c2)),
-                  full(w3.shape), full((1, c3))],
+                  full(w3.shape), full((1, c3)),
+                  full((1, c1)), full((1, c2))],
         out_specs=tuple(full(s) for s in (
             (bsz, c3), (bsz, c1), (bsz, c2),
             (1, c1), (1, c1), (1, c1), (1, c2), (1, c2), (1, c2))),
@@ -118,7 +133,7 @@ def _fwd_call(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
         ),
         interpret=_interpret(),
     )(h, w1, _row(b1), _row(g1), _row(be1), w2, _row(b2), _row(g2),
-      _row(be2), w3, _row(b3))
+      _row(be2), w3, _row(b3), _row(rm1), _row(rm2))
     return outs
 
 
@@ -205,27 +220,39 @@ def _bwd_call(dh2, h, z1, z2, w1, w2, g1, be1, g2, be2,
 # Custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-def fc_head_train(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
+def fc_head_train(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3,
+                  rm1=None, rm2=None):
     """Fused fc1+BN1+ReLU -> fc2+BN2+ReLU -> fc3 on ``h: [B, C]``.
 
-    Returns ``(out [B, c3], mu1, var1_biased, mu2, var2_biased)``; the
-    batch statistics are auxiliary (stop-gradient) outputs for the
-    running-stat EMA. The caller adds fc3's identity bias.
+    ``rm1``/``rm2`` are the BN running means ([c1]/[c2]; default zeros):
+    constants the one-pass batch moments are centered about — the same
+    cancellation guard as ``core.batch_norm`` (identical results in real
+    arithmetic for any value; well-conditioned when they track the
+    activation means). Returns ``(out [B, c3], mu1, var1_biased, mu2,
+    var2_biased)``; the batch statistics are auxiliary STOP-GRADIENT
+    outputs for the running-stat EMA — the backward drops their
+    cotangents (see module docstring). The caller adds fc3's identity
+    bias.
     """
-    return _fc_head(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3)
+    if rm1 is None:
+        rm1 = jnp.zeros((w1.shape[1],), jnp.float32)
+    if rm2 is None:
+        rm2 = jnp.zeros((w2.shape[1],), jnp.float32)
+    return _fc_head(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3,
+                    jax.lax.stop_gradient(rm1), jax.lax.stop_gradient(rm2))
 
 
-def _primal(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
+def _primal(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, rm1, rm2):
     (out, z1, z2, mu1, var1, inv1, mu2, var2, inv2) = _fwd_call(
-        h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3)
+        h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, rm1, rm2)
     res = (h, z1, z2, w1, w2, w3, g1, be1, g2, be2, mu1, inv1, mu2, inv2)
     return (out, mu1.reshape(-1), var1.reshape(-1),
             mu2.reshape(-1), var2.reshape(-1)), res
 
 
 @jax.custom_vjp
-def _fc_head(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3):
-    out, _ = _primal(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3)
+def _fc_head(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, rm1, rm2):
+    out, _ = _primal(h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3, rm1, rm2)
     return out
 
 
@@ -235,6 +262,10 @@ def _fc_head_fwd(*args):
 
 def _fc_head_bwd(res, cts):
     (h, z1, z2, w1, w2, w3, g1, be1, g2, be2, mu1, inv1, mu2, inv2) = res
+    # Only the primary output's cotangent is consumed; the four batch-stat
+    # outputs are stop-gradient auxiliaries (their cotangents are
+    # symbolically zero at every sanctioned call site — _ema_stats
+    # stop-gradients them — and are intentionally dropped here).
     dout = cts[0].astype(jnp.float32)
     # Layer 3 backward in XLA (recompute tiny h2 from the z2 stash): the
     # dw3/dh2 matmuls are standard MXU shapes, and keeping w3/dw3 out of
@@ -252,7 +283,9 @@ def _fc_head_bwd(res, cts):
     flat = lambda a: a.reshape(-1)  # noqa: E731
     return (dh.astype(h.dtype), dw1.astype(w1.dtype), flat(db1), flat(dg1),
             flat(dbe1), dw2.astype(w2.dtype), flat(db2), flat(dg2),
-            flat(dbe2), dw3.astype(w3.dtype), db3)
+            flat(dbe2), dw3.astype(w3.dtype), db3,
+            jnp.zeros((w1.shape[1],), jnp.float32),
+            jnp.zeros((w2.shape[1],), jnp.float32))
 
 
 _fc_head.defvjp(_fc_head_fwd, _fc_head_bwd)

@@ -184,7 +184,7 @@ def run_classification(cfg: ClassifyConfig,
         state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
                  else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
-    logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet)
+    logger = MetricLogger(cfg.out_dir, "cls", quiet=cfg.quiet, lag=cfg.log_lag)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
     pools = pool_te = None
@@ -231,7 +231,7 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
         state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
                  else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
-    logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet)
+    logger = MetricLogger(cfg.out_dir, "seg", quiet=cfg.quiet, lag=cfg.log_lag)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
     pools = pools_te = None
@@ -290,7 +290,7 @@ def run_adversarial(cfg: AdversarialConfig,
         state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
                  else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
-    logger = MetricLogger(cfg.out_dir, "adv", quiet=cfg.quiet)
+    logger = MetricLogger(cfg.out_dir, "adv", quiet=cfg.quiet, lag=cfg.log_lag)
     pts_per_step = 2 * cfg.batch_size * cfg.num_points
     best = 0.0
     x_unl = x_tr[n_lab:]
@@ -398,7 +398,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
         state = (checkpoint.restore(cfg.resume, state) if cfg.resume_full
                  else checkpoint.load_params_only(cfg.resume, state))
     state = replicate_tree(mesh, state)
-    logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet)
+    logger = MetricLogger(cfg.out_dir, "advp", quiet=cfg.quiet, lag=cfg.log_lag)
     pts_per_step = cfg.batch_size * cfg.num_points
     best = 0.0
     pools = pool_te = None

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 from typing import Any, Optional
 
@@ -57,21 +58,29 @@ class AsyncSaver:
                     return
                 ckpt_dir, step, state = item
                 save(ckpt_dir, step, state)
-            except BaseException as e:  # surfaced on next save()/close()
+            except BaseException as e:  # re-raised on next save()/close()
+                # Log immediately from the writer thread so a broken
+                # out_dir is visible AT the failing epoch (the re-raise
+                # necessarily lands one save() call later).
+                print(f"[AsyncSaver] checkpoint write for step "
+                      f"{item[1]} failed: {e!r}", file=sys.stderr,
+                      flush=True)
                 self._err = e
             finally:
                 self._q.task_done()
 
     def save(self, ckpt_dir: str, step: int, state: Any) -> None:
         if self._err is not None:
-            raise self._err
+            err, self._err = self._err, None  # raise once, not forever
+            raise err
         self._q.put((ckpt_dir, step, state))
 
     def close(self) -> None:
         self._q.put(None)
         self._t.join()
         if self._err is not None:
-            raise self._err
+            err, self._err = self._err, None
+            raise err
 
     def __enter__(self) -> "AsyncSaver":
         return self
