@@ -74,6 +74,13 @@ class BaseConfig:
     num_devices: int = 0          # 0 -> all visible devices (DP mesh)
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
     quiet: bool = False           # --quiet (stdout parity mode)
+    ckpt_policy: str = "every"    # --ckpt_policy {every,latest}: "every"
+                                  #   saves each epoch (reference
+                                  #   semantics; backpressures when the
+                                  #   ~2 s orbax write outlasts an
+                                  #   epoch); "latest" skips stale
+                                  #   snapshots under backpressure (the
+                                  #   final epoch is always durable)
     log_lag: int = 2              # --log_lag: defer per-step metric
                                   #   readbacks N launches so they overlap
                                   #   device execution; 0 = strictly
@@ -149,6 +156,11 @@ class AdvPerturbConfig(BaseConfig):
     num_classes: int = 40
     dropout: float = 0.3
     epsilon: float = 0.05         # --epsilon (FGSM step / L-inf bound)
+    attack: str = "fgsm"          # --attack {fgsm,pgd}: pgd runs
+                                  #   attack_steps projected iterations
+                                  #   inside the same jitted step
+                                  #   (steps=1 pgd == fgsm exactly)
+    attack_steps: int = 1         # --attack_steps (PGD iterations)
     out_dir: str = "advp"
 
 
@@ -198,6 +210,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
+    p.add_argument("--ckpt_policy", type=str, default="every",
+                   choices=("every", "latest"),
+                   help="'every' saves each epoch (reference semantics); "
+                        "'latest' skips stale snapshots when epochs "
+                        "outpace the async checkpoint writer (final "
+                        "epoch always durable)")
     p.add_argument("--log_lag", type=int, default=2,
                    help="defer per-step metric readbacks this many "
                         "launches (overlaps device execution); 0 = "
@@ -237,6 +255,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         resume_full=a.resume_full,
         profile_dir=a.profile_dir,
         quiet=a.quiet,
+        ckpt_policy=a.ckpt_policy,
         log_lag=a.log_lag,
         workers=a.workers,
         device_data=not a.host_data,
@@ -310,5 +329,12 @@ def adv_perturb_config_from_args(argv=None) -> AdvPerturbConfig:
     p = argparse.ArgumentParser(description="FGSM perturbation training (TPU)")
     _add_common_flags(p)
     p.add_argument("--epsilon", type=float, default=0.05, help="FGSM epsilon")
+    p.add_argument("--attack", type=str, default="fgsm",
+                   choices=("fgsm", "pgd"),
+                   help="pgd = iterated projected FGSM (--attack_steps)")
+    p.add_argument("--attack_steps", type=int, default=1,
+                   help="PGD iterations (1 == FGSM)")
     a = p.parse_args(argv)
-    return AdvPerturbConfig(epsilon=a.epsilon, **_common_kwargs(a, 1024, "advp"))
+    return AdvPerturbConfig(epsilon=a.epsilon, attack=a.attack,
+                            attack_steps=a.attack_steps,
+                            **_common_kwargs(a, 1024, "advp"))

@@ -58,7 +58,16 @@ def _train_step_impl(state, points, labels, cfg: AdvPerturbConfig, tx):
         return losses.nll_loss(logp, labels)
 
     with dispatch.use_pallas(False):
-        x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
+        if cfg.attack == "pgd" and cfg.attack_steps > 1:
+            # cfg is a static jit arg, so the attack choice is baked into
+            # the compiled program; the PGD loop is a lax.fori_loop (one
+            # program either way). steps=1 PGD is exactly FGSM (alpha =
+            # eps, the projection is then a no-op), so it takes the same
+            # single-grad path.
+            x_adv = attacks.iterated_fgsm_points(
+                attack_loss, points, cfg.epsilon, cfg.attack_steps)
+        else:
+            x_adv = attacks.fgsm_points(attack_loss, points, cfg.epsilon)
 
     # Standard supervised update on the perturbed batch.
     (loss, (new_bn, acc)), grads = jax.value_and_grad(

@@ -194,7 +194,7 @@ def run_classification(cfg: ClassifyConfig,
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver() as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -241,7 +241,7 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver() as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -322,7 +322,7 @@ def run_adversarial(cfg: AdversarialConfig,
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver() as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -408,7 +408,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver() as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()

@@ -42,10 +42,21 @@ class AsyncSaver:
     capturing the state is snapshot-safe. ``maxsize=1`` gives natural
     backpressure (a third save blocks until the first lands); ``close()``
     drains the queue so the final checkpoint is durable before the run
-    returns, and re-raises any writer-thread failure."""
+    returns, and re-raises any writer-thread failure.
 
-    def __init__(self) -> None:
+    ``skip_to_latest=True`` (the ``--ckpt_policy latest`` keep-up mode)
+    trades completeness for zero backpressure when epochs finish faster
+    than a checkpoint write (~2 s for GAN state): a save that finds the
+    queue full REPLACES the still-queued stale snapshot with the newer
+    one instead of blocking — the writer persists the most recent state
+    it can keep up with; intermediate epochs may be skipped. The FINAL
+    state is always durable either way (``close()`` enqueues behind any
+    pending item and drains before returning). Default False preserves
+    reference semantics: every epoch saved."""
+
+    def __init__(self, skip_to_latest: bool = False) -> None:
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._skip = skip_to_latest
         self._err: Optional[BaseException] = None
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
@@ -73,7 +84,25 @@ class AsyncSaver:
         if self._err is not None:
             err, self._err = self._err, None  # raise once, not forever
             raise err
-        self._q.put((ckpt_dir, step, state))
+        item = (ckpt_dir, step, state)
+        if not self._skip:
+            self._q.put(item)
+            return
+        # Keep-up mode: displace a stale queued snapshot rather than
+        # block. The pop/put pair races benignly with the writer thread —
+        # if the writer grabs the stale item first, get_nowait sees Empty
+        # and the retry put succeeds (or displaces whatever newer save
+        # landed in between, which is exactly the policy).
+        while True:
+            try:
+                self._q.put_nowait(item)
+                return
+            except queue.Full:
+                try:
+                    self._q.get_nowait()
+                    self._q.task_done()
+                except queue.Empty:
+                    pass
 
     def close(self) -> None:
         self._q.put(None)

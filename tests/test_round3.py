@@ -1,0 +1,223 @@
+"""Round-3 feature tests: AsyncSaver keep-up policy, PGD training surface,
+centered fc-head BN moments (ADVICE r2 #1), and the new CLI flags."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    AdvPerturbConfig, adv_perturb_config_from_args,
+    classify_config_from_args,
+)
+from adversarial_learning_on_pointclouds_tpu.train import adv_perturb
+from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+
+B, N = 8, 64
+
+
+# ---------------------------------------------------------------------------
+# AsyncSaver keep-up policy (VERDICT r2 weak #5 / next #7)
+# ---------------------------------------------------------------------------
+
+def _slow_recording_save(written, delay=0.05):
+    def fake_save(ckpt_dir, step, state):
+        time.sleep(delay)
+        written.append(step)
+    return fake_save
+
+
+def test_async_saver_skip_to_latest_final_durable(tmp_path, monkeypatch):
+    """'latest' policy: saves never block behind a slow writer, stale
+    snapshots are skipped, and the FINAL state is always written."""
+    written = []
+    monkeypatch.setattr(checkpoint, "save", _slow_recording_save(written))
+    t0 = time.perf_counter()
+    with checkpoint.AsyncSaver(skip_to_latest=True) as saver:
+        for step in range(20):
+            saver.save(str(tmp_path), step, {"w": step})
+    elapsed = time.perf_counter() - t0
+    assert written, "nothing written"
+    assert written[-1] == 19, f"final epoch not durable: {written}"
+    assert len(written) < 20, "keep-up mode skipped nothing"
+    assert written == sorted(written)
+    # 20 blocking writes would take >= 1 s; keep-up mode must not.
+    assert elapsed < 0.9, f"keep-up mode still backpressures: {elapsed:.2f}s"
+
+
+def test_async_saver_default_saves_every_epoch(tmp_path, monkeypatch):
+    """Default policy keeps reference semantics: every epoch written."""
+    written = []
+    monkeypatch.setattr(checkpoint, "save",
+                        _slow_recording_save(written, delay=0.01))
+    with checkpoint.AsyncSaver() as saver:
+        for step in range(10):
+            saver.save(str(tmp_path), step, {"w": step})
+    assert written == list(range(10))
+
+
+def test_async_saver_error_raised_once(tmp_path, monkeypatch):
+    """A writer failure surfaces on the next save() exactly once (ADVICE
+    r2 #3) — subsequent saves and close() proceed normally."""
+    calls = {"n": 0}
+
+    def failing_once(ckpt_dir, step, state):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("disk full")
+
+    monkeypatch.setattr(checkpoint, "save", failing_once)
+    saver = checkpoint.AsyncSaver()
+    saver.save(str(tmp_path), 0, {})
+    deadline = time.perf_counter() + 5.0
+    while saver._err is None and time.perf_counter() < deadline:
+        time.sleep(0.01)
+    try:
+        saver.save(str(tmp_path), 1, {})
+        raise AssertionError("expected the writer failure to re-raise")
+    except RuntimeError:
+        pass
+    saver.save(str(tmp_path), 2, {})  # err cleared: does not raise again
+    saver.close()
+
+
+# ---------------------------------------------------------------------------
+# PGD training surface (VERDICT r2 missing #4 / next #8)
+# ---------------------------------------------------------------------------
+
+def _advp_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    labels = jnp.asarray((np.arange(B) % 4).astype(np.int32))
+    return pts, labels
+
+
+def test_pgd_steps1_matches_fgsm_exactly():
+    """--attack pgd --attack_steps 1 is FGSM (alpha=eps, projection a
+    no-op) — the trainer routes it through the identical single-grad
+    path, so losses are bitwise equal."""
+    pts, labels = _advp_batch()
+    base = dict(num_classes=4, batch_size=B, num_points=N, epsilon=0.05)
+    cfg_f = AdvPerturbConfig(attack="fgsm", **base)
+    cfg_p = AdvPerturbConfig(attack="pgd", attack_steps=1, **base)
+    tx = adv_perturb.make_tx(cfg_f, 1)
+    s0 = adv_perturb.create_state(cfg_f, 1)
+    _, m_f = adv_perturb.train_step(s0, pts, labels, cfg=cfg_f, tx=tx)
+    _, m_p = adv_perturb.train_step(s0, pts, labels, cfg=cfg_p, tx=tx)
+    assert float(m_f["loss"]) == float(m_p["loss"])
+
+
+def test_pgd_multi_step_runs_and_differs():
+    """PGD with steps>1 compiles into the same jitted step (lax.fori_loop)
+    and produces a different (iterated) perturbation than FGSM."""
+    pts, labels = _advp_batch()
+    base = dict(num_classes=4, batch_size=B, num_points=N, epsilon=0.05)
+    cfg_f = AdvPerturbConfig(attack="fgsm", **base)
+    cfg_p = AdvPerturbConfig(attack="pgd", attack_steps=4, **base)
+    tx = adv_perturb.make_tx(cfg_f, 1)
+    s0 = adv_perturb.create_state(cfg_f, 1)
+    s_f, m_f = adv_perturb.train_step(s0, pts, labels, cfg=cfg_f, tx=tx)
+    s_p, m_p = adv_perturb.train_step(s0, pts, labels, cfg=cfg_p, tx=tx)
+    assert np.isfinite(float(m_p["loss"]))
+    assert float(m_f["loss"]) != float(m_p["loss"])
+
+
+def test_pgd_perturbation_stays_in_linf_ball():
+    from adversarial_learning_on_pointclouds_tpu import attacks
+
+    pts, labels = _advp_batch()
+    eps = 0.03
+
+    def loss(x):
+        return jnp.sum(jnp.sin(x * 3.0))
+
+    x_adv = attacks.iterated_fgsm_points(loss, pts, eps, steps=5,
+                                         step_size=eps)  # deliberately big
+    assert float(jnp.max(jnp.abs(x_adv - pts))) <= eps + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Centered fc-head BN moments (ADVICE r2 #1)
+# ---------------------------------------------------------------------------
+
+def test_fc_head_centered_moments_beat_raw_on_offset_activations():
+    """With activations far from zero (|mean| >> std), centering the
+    one-pass moments about a tracking running mean keeps the batch
+    variance accurate where the raw E[x^2]-E[x]^2 form cancels
+    catastrophically — same guard core.batch_norm grew in round 2."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        fc_head_train,
+    )
+
+    rng = np.random.default_rng(3)
+    Bx, C0, C1, C2, C3 = 8, 32, 16, 16, 9
+    # Inputs engineered so z1 = h@w1+b1 has mean ~300, std ~1.
+    h = jnp.asarray((10.0 + 0.05 * rng.standard_normal((Bx, C0)))
+                    .astype(np.float32))
+    w1 = jnp.asarray(np.full((C0, C1), 1.0, np.float32)
+                     + 0.01 * rng.standard_normal((C0, C1)).astype(np.float32))
+    b1 = jnp.zeros((C1,), jnp.float32)
+    g1 = jnp.ones((C1,), jnp.float32)
+    be1 = jnp.zeros((C1,), jnp.float32)
+    w2 = jnp.asarray(0.2 * rng.standard_normal((C1, C2)).astype(np.float32))
+    b2 = jnp.zeros((C2,), jnp.float32)
+    g2 = jnp.ones((C2,), jnp.float32)
+    be2 = jnp.zeros((C2,), jnp.float32)
+    w3 = jnp.asarray(0.2 * rng.standard_normal((C2, C3)).astype(np.float32))
+    b3 = jnp.zeros((C3,), jnp.float32)
+
+    # float64 ground truth for the layer-1 batch variance.
+    z1_64 = np.asarray(h, np.float64) @ np.asarray(w1, np.float64)
+    var_true = z1_64.var(axis=0)
+    rm1 = jnp.asarray(z1_64.mean(axis=0).astype(np.float32))
+
+    args = (h, w1, b1, g1, be1, w2, b2, g2, be2, w3, b3)
+    var_raw = np.asarray(fc_head_train.fc_head_train(*args)[2], np.float64)
+    var_ctr = np.asarray(
+        fc_head_train.fc_head_train(
+            *args, rm1=rm1, rm2=jnp.zeros((C2,), jnp.float32))[2],
+        np.float64)
+    err_raw = np.abs(var_raw - var_true) / var_true
+    err_ctr = np.abs(var_ctr - var_true) / var_true
+    assert err_ctr.max() < 1e-3, err_ctr.max()
+    assert err_ctr.max() < err_raw.max(), (err_ctr.max(), err_raw.max())
+
+
+def test_fc_head_rm_default_zero_unchanged():
+    """rm=None (zeros) is bitwise the old raw one-pass form — existing
+    parity baselines hold."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        fc_head_train,
+    )
+
+    rng = np.random.default_rng(1)
+    Bx, C0, C1, C2, C3 = 8, 32, 16, 16, 4
+    args = (jnp.asarray(rng.standard_normal((Bx, C0)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((C0, C1)).astype(np.float32)),
+            jnp.zeros((C1,), jnp.float32), jnp.ones((C1,), jnp.float32),
+            jnp.zeros((C1,), jnp.float32),
+            jnp.asarray(rng.standard_normal((C1, C2)).astype(np.float32)),
+            jnp.zeros((C2,), jnp.float32), jnp.ones((C2,), jnp.float32),
+            jnp.zeros((C2,), jnp.float32),
+            jnp.asarray(rng.standard_normal((C2, C3)).astype(np.float32)),
+            jnp.zeros((C3,), jnp.float32))
+    a = fc_head_train.fc_head_train(*args)
+    b = fc_head_train.fc_head_train(*args, rm1=jnp.zeros((C1,), jnp.float32),
+                                    rm2=jnp.zeros((C2,), jnp.float32))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# CLI flag surface
+# ---------------------------------------------------------------------------
+
+def test_new_flags_parse():
+    cfg = adv_perturb_config_from_args(
+        ["--attack", "pgd", "--attack_steps", "7", "--ckpt_policy",
+         "latest", "--log_lag", "0"])
+    assert cfg.attack == "pgd" and cfg.attack_steps == 7
+    assert cfg.ckpt_policy == "latest" and cfg.log_lag == 0
+    cfg2 = classify_config_from_args([])
+    assert cfg2.ckpt_policy == "every" and cfg2.log_lag == 2
