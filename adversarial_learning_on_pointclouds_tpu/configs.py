@@ -67,6 +67,16 @@ class BaseConfig:
                                   #   program launch via lax.scan with
                                   #   K-batch stacked transfers
     use_pallas: bool = True       # fused Pallas kernels vs jnp fallback
+    pallas_augment: bool = False  # --pallas_augment: run the rotate/
+                                  #   jitter/dropout augmentation as ONE
+                                  #   Pallas pass with on-core PRNG
+                                  #   (augment_fused.py) instead of the
+                                  #   jnp chain XLA fuses into the step.
+                                  #   Distributionally identical, not
+                                  #   bit-identical (different RNG
+                                  #   stream). Default off: measured on
+                                  #   v5e the jnp chain is already free
+                                  #   (see BASELINE.md augment row).
     bf16: bool = False            # mixed precision: bf16 matmul inputs
     remat: bool = False           # rematerialize big per-point
                                   #   activations in backward (HBM win)
@@ -74,13 +84,15 @@ class BaseConfig:
     num_devices: int = 0          # 0 -> all visible devices (DP mesh)
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
     quiet: bool = False           # --quiet (stdout parity mode)
-    ckpt_policy: str = "every"    # --ckpt_policy {every,latest}: "every"
-                                  #   saves each epoch (reference
+    ckpt_policy: str = "every"    # --ckpt_policy {every,latest,none}:
+                                  #   "every" saves each epoch (reference
                                   #   semantics; backpressures when the
                                   #   ~2 s orbax write outlasts an
                                   #   epoch); "latest" skips stale
                                   #   snapshots under backpressure (the
-                                  #   final epoch is always durable)
+                                  #   final epoch is always durable);
+                                  #   "none" disables checkpointing
+                                  #   (ablation sweeps)
     log_lag: int = 2              # --log_lag: defer per-step metric
                                   #   readbacks N launches so they overlap
                                   #   device execution; 0 = strictly
@@ -139,6 +151,12 @@ class AdversarialConfig(SegmentConfig):
     beta1_d: float = 0.9
     beta2_d: float = 0.99
     semi_start: int = 0           # --semi_start (iteration to enable L_semi)
+    supervised_only: bool = False  # --supervised_only: ablation control —
+                                  #   CE on the SAME labeled subset
+                                  #   through the SAME pipeline, no
+                                  #   unlabeled forward / adv / semi / D
+                                  #   (the config-3 baseline the
+                                  #   adversarial gain is read against)
     fused_forward: bool = False   # one combined G fwd / D pass over
                                   #   [labeled; unlabeled]. Measured
                                   #   SLOWER on v5e (3.09M vs 3.35M
@@ -197,6 +215,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--poly_power", type=float, default=0.9)
     p.add_argument("--no_pallas", action="store_true",
                    help="disable Pallas kernels (pure jnp/XLA path)")
+    p.add_argument("--pallas_augment", action="store_true",
+                   help="fused Pallas augmentation pass (on-core PRNG) "
+                        "instead of the jnp chain; distributionally "
+                        "identical, different RNG stream")
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision (bf16 matmul inputs, fp32 accum)")
     p.add_argument("--remat", action="store_true",
@@ -211,11 +233,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
     p.add_argument("--ckpt_policy", type=str, default="every",
-                   choices=("every", "latest"),
+                   choices=("every", "latest", "none"),
                    help="'every' saves each epoch (reference semantics); "
                         "'latest' skips stale snapshots when epochs "
                         "outpace the async checkpoint writer (final "
-                        "epoch always durable)")
+                        "epoch always durable); 'none' disables "
+                        "checkpointing (ablation sweeps)")
     p.add_argument("--log_lag", type=int, default=2,
                    help="defer per-step metric readbacks this many "
                         "launches (overlaps device execution); 0 = "
@@ -250,6 +273,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         lr_schedule=a.lr_schedule,
         poly_power=a.poly_power,
         use_pallas=not a.no_pallas,
+        pallas_augment=a.pallas_augment,
         bf16=a.bf16,
         remat=a.remat,
         resume_full=a.resume_full,
@@ -302,6 +326,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
     p.add_argument("--labeled_ratio", type=float, default=0.5)
     p.add_argument("--lr_D", type=float, default=1e-4)
     p.add_argument("--semi_start", type=int, default=0)
+    p.add_argument("--supervised_only", action="store_true",
+                   help="ablation control: CE-only training on the same "
+                        "labeled subset (no adv/semi/D) — the baseline "
+                        "the adversarial gain is measured against")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
@@ -316,6 +344,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_adv_unl=a.lambda_adv_unl,
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
+        supervised_only=a.supervised_only,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,

@@ -153,8 +153,34 @@ def chain_from_cfg(rng: jax.Array, cfg, points: jnp.ndarray,
     (rotate/jitter) plus ``provider.py`` dropout; here one fused on-device
     stage, gated by ``cfg.normalize`` / ``cfg.resample`` / ``cfg.augment``
     / ``cfg.point_dropout``.
+
+    ``cfg.pallas_augment`` swaps the rotate/jitter/dropout tail for the
+    one-pass Pallas kernel with on-core PRNG
+    (``ops/kernels/augment_fused.py``) — distributionally identical,
+    different RNG stream (normalize/resample stay jnp: a gather and a
+    reduction XLA already fuses). ``cfg`` is a static jit arg, so the
+    choice is baked into the compiled step.
     """
     resample = cfg.resample and points.shape[1] != cfg.num_points
+    if (getattr(cfg, "pallas_augment", False)
+            and (cfg.augment or cfg.point_dropout)):
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            augment_fused,
+        )
+        k_res, k_seed = jax.random.split(rng)
+        if cfg.normalize:
+            points = normalize_unit_sphere(points)
+        if resample:
+            if labels is None:
+                points = resample_fixed_n(k_res, points, cfg.num_points)
+            else:
+                points, labels = resample_fixed_n(
+                    k_res, points, cfg.num_points, labels)
+        seed = jax.random.randint(k_seed, (), 0, jnp.iinfo(jnp.int32).max)
+        points = augment_fused.augment_fused(
+            seed, points, rotate=cfg.augment, jitter=cfg.augment,
+            dropout=cfg.point_dropout)
+        return points if labels is None else (points, labels)
     return augment_batch(
         rng, points, labels, num_points=cfg.num_points,
         normalize=cfg.normalize, resample=resample,

@@ -104,6 +104,22 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
     if cfg.remat:
         seg_train = jax.checkpoint(seg_train)
 
+    if cfg.supervised_only:
+        # Ablation baseline (--supervised_only): CE on the SAME labeled
+        # subset through the SAME pipeline, nothing else — no unlabeled
+        # forward, no D forward, no adv/semi terms. This is the config-3
+        # control for the adversarial-gain comparison (Hung et al. table
+        # 1 reads adv+semi against exactly this baseline at each
+        # labeled_ratio).
+        logp_l, _, tf_l, bn1 = seg_train(g_params, g_bn, x_l)
+        l_ce = losses.nll_loss(logp_l, y_l)
+        if cfg.feature_transform:
+            l_ce = l_ce + FT_REG_WEIGHT * losses.orthogonality_reg(tf_l)
+        zero = jnp.zeros((), logp_l.dtype)
+        aux = dict(bn=bn1, l_ce=l_ce, l_adv=zero, l_semi=zero,
+                   logp_l=logp_l)
+        return l_ce, aux
+
     b = x_l.shape[0]
     if cfg.fused_forward:
         # One combined G forward+backward and one combined D pass over
@@ -315,23 +331,30 @@ def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     new_g_params = jax.tree_util.tree_map(
         lambda p, u: p + u, state.g_params, g_updates)
 
-    # --- D step: G outputs detached (reference's ``.detach()``). ---
-    probs_l = jax.lax.stop_gradient(aux["probs_l"])
-    probs_u = jax.lax.stop_gradient(aux["probs_u"])
-    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
-    fake_logits = None
-    if dispatch.pallas_enabled():
-        # Pre-update D on the same detached inputs => identical logits;
-        # skip the redundant fake forward (see _d_loss_fn).
-        fake_logits = jax.lax.stop_gradient(
-            jnp.concatenate([aux["d_l"], aux["d_u"]], axis=0))
-    (d_loss_v, _), d_grads = jax.value_and_grad(_d_loss_fn, has_aux=True)(
-        state.d_params, probs_l, probs_u, y_l, cfg.num_parts,
-        fake_logits)
-    d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
-                                       state.d_params)
-    new_d_params = jax.tree_util.tree_map(
-        lambda p, u: p + u, state.d_params, d_updates)
+    if cfg.supervised_only:
+        # Ablation baseline: no D update (and no D compute anywhere —
+        # the G loss above never forwarded it).
+        new_d_params, new_d_opt = state.d_params, state.d_opt_state
+        d_loss_v = jnp.zeros((), g_loss.dtype)
+    else:
+        # --- D step: G outputs detached (reference's ``.detach()``). ---
+        probs_l = jax.lax.stop_gradient(aux["probs_l"])
+        probs_u = jax.lax.stop_gradient(aux["probs_u"])
+        from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+        fake_logits = None
+        if dispatch.pallas_enabled():
+            # Pre-update D on the same detached inputs => identical
+            # logits; skip the redundant fake forward (see _d_loss_fn).
+            fake_logits = jax.lax.stop_gradient(
+                jnp.concatenate([aux["d_l"], aux["d_u"]], axis=0))
+        (d_loss_v, _), d_grads = jax.value_and_grad(
+            _d_loss_fn, has_aux=True)(
+                state.d_params, probs_l, probs_u, y_l, cfg.num_parts,
+                fake_logits)
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
+                                           state.d_params)
+        new_d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
 
     acc = jnp.mean(jnp.argmax(aux["logp_l"], -1) == y_l)
     new_state = state_lib.GANTrainState(

@@ -212,7 +212,8 @@ def run_classification(cfg: ClassifyConfig,
                       cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            if cfg.ckpt_policy != "none":
+                saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -259,7 +260,8 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                              c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            if cfg.ckpt_policy != "none":
+                saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -377,7 +379,8 @@ def run_adversarial(cfg: AdversarialConfig,
                              c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            if cfg.ckpt_policy != "none":
+                saver.save(cfg.out_dir, epoch, state)
             t3 = time.perf_counter()
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=t3 - t2)
@@ -426,7 +429,8 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                       cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            if cfg.ckpt_policy != "none":
+                saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Adversarial-gain ablation: config-4 (adv + semi) vs supervised-only on
+the SAME labeled subset (VERDICT round 2, next #1).
+
+The reference's reason to exist is Hung et al.'s claim (arXiv:1802.07934,
+SURVEY.md §6) that adversarial + semi-supervised training improves mIoU
+when only a fraction of the training set is labeled (+1-3 mIoU at 1/2
+labels on real data). This script measures that delta end-to-end through
+the REAL runner on the synthetic ShapeNet fixture: for each labeled_ratio
+and seed it trains (a) the full adversarial+semi config and (b) the
+``--supervised_only`` control — identical labeled split, identical data
+pipeline, identical G architecture/optimizer — and reports best-epoch
+instance mIoU per run plus per-ratio mean +- std and the adv-sup delta.
+
+Results land in a JSON artifact (one dict; see ``--json``) and a
+markdown table on stdout for BASELINE.md.
+
+Usage (defaults reproduce the recorded BASELINE.md table):
+    python scripts/ablation_adversarial_gain.py \
+        --seeds 3 --ratios 0.25 0.5 --nepoch 40 --num_shapes 512
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=3, help="seeds per cell")
+    p.add_argument("--ratios", type=float, nargs="+", default=[0.25, 0.5])
+    p.add_argument("--nepoch", type=int, default=40)
+    p.add_argument("--batchSize", type=int, default=16)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--num_shapes", type=int, default=512,
+                   help="synthetic fixture size (384 train / 64 test)")
+    p.add_argument("--scan", type=int, default=0,
+                   help="K-step fused launches; 0 default — the sweep's "
+                        "6-12 steps/epoch rarely fill a K=8 group, so "
+                        "scan only adds compile variants here")
+    p.add_argument("--semi_start", type=int, default=0)
+    p.add_argument("--lambda_semi", type=float, default=0.1)
+    p.add_argument("--lambda_adv", type=float, default=0.01)
+    p.add_argument("--dataset", type=str, default="",
+                   help="fixture root ('' = build a dedicated synthetic "
+                        "fixture of --num_shapes shapes)")
+    p.add_argument("--json", type=str, default="ABLATION_r03.json")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny smoke setting (CI): 1 seed, 2 epochs, "
+                        "96 shapes")
+    a = p.parse_args()
+    if a.quick:
+        a.seeds, a.nepoch, a.num_shapes = 1, 2, 96
+        a.ratios = [0.5]
+
+    import numpy as np
+
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        AdversarialConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        make_synthetic_shapenet,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+
+    root = a.dataset
+    if not root:
+        root = os.path.join(tempfile.gettempdir(),
+                            f"pointtpu_ablation_shapenet_{a.num_shapes}")
+        if not (os.path.isdir(root) and os.listdir(root)):
+            make_synthetic_shapenet(root, num_shapes=a.num_shapes,
+                                    num_points=a.num_points)
+
+    runs = []
+    for ratio in a.ratios:
+        for seed in range(a.seeds):
+            for mode in ("sup", "adv"):
+                cfg = AdversarialConfig(
+                    dataset=root, labeled_ratio=ratio, seed=seed,
+                    supervised_only=(mode == "sup"),
+                    batch_size=a.batchSize, num_points=a.num_points,
+                    epochs=a.nepoch, scan=a.scan,
+                    semi_start=a.semi_start,
+                    lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
+                    ckpt_policy="none", quiet=True,
+                    out_dir=os.path.join(tempfile.gettempdir(),
+                                         f"abl_{ratio}_{seed}_{mode}"))
+                t0 = time.perf_counter()
+                res = runner.run_adversarial(cfg)
+                dt = time.perf_counter() - t0
+                row = {"ratio": ratio, "seed": seed, "mode": mode,
+                       "best_miou": round(float(res["best_miou"]), 5),
+                       "wall_s": round(dt, 1)}
+                runs.append(row)
+                print(f"[ablation] {row}", flush=True)
+
+    summary = {}
+    for ratio in a.ratios:
+        cell = {}
+        for mode in ("sup", "adv"):
+            vals = [r["best_miou"] for r in runs
+                    if r["ratio"] == ratio and r["mode"] == mode]
+            cell[mode] = {"mean": round(float(np.mean(vals)), 5),
+                          "std": round(float(np.std(vals)), 5),
+                          "runs": vals}
+        cell["delta"] = round(cell["adv"]["mean"] - cell["sup"]["mean"], 5)
+        summary[str(ratio)] = cell
+
+    out = {"config": {k: getattr(a, k) for k in
+                      ("seeds", "ratios", "nepoch", "batchSize",
+                       "num_points", "num_shapes", "scan", "semi_start",
+                       "lambda_semi", "lambda_adv")},
+           "runs": runs, "summary": summary}
+    with open(a.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {a.json}")
+    print("\n| labeled_ratio | supervised-only mIoU | adv+semi mIoU | delta |")
+    print("|---|---|---|---|")
+    for ratio in a.ratios:
+        c = summary[str(ratio)]
+        print(f"| {ratio} | {c['sup']['mean']:.4f} ± {c['sup']['std']:.4f} "
+              f"| {c['adv']['mean']:.4f} ± {c['adv']['std']:.4f} "
+              f"| {c['delta']:+.4f} |")
+
+
+if __name__ == "__main__":
+    main()
