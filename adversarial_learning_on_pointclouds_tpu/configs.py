@@ -151,6 +151,14 @@ class AdversarialConfig(SegmentConfig):
     beta1_d: float = 0.9
     beta2_d: float = 0.99
     semi_start: int = 0           # --semi_start (iteration to enable L_semi)
+    fused_epoch: bool = False     # --fused_epoch: run each FULL epoch
+                                  #   (spe train steps + the whole test
+                                  #   eval scan) as ONE compiled launch —
+                                  #   one dispatch + one readback group
+                                  #   per epoch. Implies device-resident
+                                  #   pools. Through a tunneled chip this
+                                  #   removes the ~0.9 s/epoch eval
+                                  #   launch+drain floor (BASELINE.md).
     supervised_only: bool = False  # --supervised_only: ablation control —
                                   #   CE on the SAME labeled subset
                                   #   through the SAME pipeline, no
@@ -326,6 +334,9 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
     p.add_argument("--labeled_ratio", type=float, default=0.5)
     p.add_argument("--lr_D", type=float, default=1e-4)
     p.add_argument("--semi_start", type=int, default=0)
+    p.add_argument("--fused_epoch", action="store_true",
+                   help="one compiled launch per epoch (train scan + "
+                        "eval scan); requires device-resident pools")
     p.add_argument("--supervised_only", action="store_true",
                    help="ablation control: CE-only training on the same "
                         "labeled subset (no adv/semi/D) — the baseline "
@@ -345,6 +356,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
+        fused_epoch=a.fused_epoch,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,

@@ -222,13 +222,32 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
                             layout: str = "h5") -> str:
     """Synthetic ShapeNet-part fixtures (h5 layout by default).
 
-    Part labels are spatially coherent (split along a category-dependent
-    axis into that category's parts) so a segmenter can overfit them.
+    GENERALIZABLE by construction, not just overfittable: every category
+    has a fixed constellation of Gaussian blobs (category-seeded anchor
+    centers), and each shape samples its points around those anchors —
+    so the category (which selects the part-label range AND the labeling
+    axis) is recoverable from the geometry by a global-feature encoder
+    on UNSEEN shapes. Part labels stay spatially coherent (quantized
+    position along a category-dependent axis). Before round 3 the clouds
+    were i.i.d. Gaussians: the category was unknowable from points, so
+    segmenters could only memorize the train shapes (92% train acc,
+    ~2% test mIoU measured) — useless for any train-vs-eval comparison,
+    e.g. the adversarial-gain ablation.
     """
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     cats = rng.integers(0, NUM_CATEGORIES, size=num_shapes).astype(np.int32)
-    pts = rng.standard_normal((num_shapes, num_points, 3)).astype(np.float32)
+    # Per-category blob constellation: K anchors drawn once from a
+    # category-seeded stream (shapes of one category share them).
+    n_blobs = 4
+    anchor_rng = np.random.default_rng(12345)
+    anchors = anchor_rng.uniform(-1.0, 1.0,
+                                 (NUM_CATEGORIES, n_blobs, 3)).astype(
+                                     np.float32)
+    blob = rng.integers(0, n_blobs, size=(num_shapes, num_points))
+    noise = 0.25 * rng.standard_normal(
+        (num_shapes, num_points, 3)).astype(np.float32)
+    pts = anchors[cats[:, None], blob] + noise
     norm = np.max(np.linalg.norm(pts, axis=-1, keepdims=True), 1, keepdims=True)
     pts /= np.maximum(norm, 1e-12)
     pids = np.empty((num_shapes, num_points), np.int32)

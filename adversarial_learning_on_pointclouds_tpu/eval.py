@@ -49,18 +49,14 @@ def evaluate_classifier_device(params, bn_state, pool_x, labels: np.ndarray,
             "num_examples": float(len(labels))}
 
 
-def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
-                              part_labels: np.ndarray,
-                              categories: np.ndarray, batch_size: int = 32,
-                              ) -> Tuple[Dict[str, float], Dict[str, float]]:
-    """``evaluate_segmenter`` against device-resident test pools via one
-    compiled scan (``segment.eval_scan``). Only per-shape reductions
-    (IoU + correct-point counts) cross the device->host link; the
-    per-category table derives from the IoU vector + the host
-    ``categories`` copy (``part_labels`` supplies point count/shape n)."""
+def summarize_segmenter_outs(outs, part_labels: np.ndarray,
+                             categories: np.ndarray, mask: np.ndarray,
+                             ) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """Host-side reduction of a ``segment.eval_scan``-shaped output
+    (``{"ious": [S,B], "correct": [S,B]}``) into the eval summary + the
+    per-category mIoU table. Shared by ``evaluate_segmenter_device`` and
+    the fused epoch program path (``--fused_epoch``)."""
     n = len(part_labels)
-    idx, mask = _eval_indices(n, batch_size)
-    outs = segment.eval_scan(params, bn_state, pool_x, pool_s, pool_c, idx)
     npts = part_labels.shape[-1]
     iou_all = np.asarray(outs["ious"]).reshape(-1)[mask]
     correct = np.asarray(outs["correct"]).reshape(-1)[mask]
@@ -71,6 +67,20 @@ def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
     }
     table = metrics.category_miou_from_ious(iou_all, categories)
     return summary, table
+
+
+def evaluate_segmenter_device(params, bn_state, pool_x, pool_s, pool_c,
+                              part_labels: np.ndarray,
+                              categories: np.ndarray, batch_size: int = 32,
+                              ) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """``evaluate_segmenter`` against device-resident test pools via one
+    compiled scan (``segment.eval_scan``). Only per-shape reductions
+    (IoU + correct-point counts) cross the device->host link; the
+    per-category table derives from the IoU vector + the host
+    ``categories`` copy (``part_labels`` supplies point count/shape n)."""
+    idx, mask = _eval_indices(len(part_labels), batch_size)
+    outs = segment.eval_scan(params, bn_state, pool_x, pool_s, pool_c, idx)
+    return summarize_segmenter_outs(outs, part_labels, categories, mask)
 
 
 def _fetch_async(out) -> None:

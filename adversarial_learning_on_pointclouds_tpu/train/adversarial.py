@@ -298,6 +298,47 @@ def _train_steps_scan_gather_jit(state, pool_x, pool_y, pool_u, idx_l,
         return jax.lax.scan(body, state, (idx_l, idx_u))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "g_tx", "d_tx", "paths"))
+def _epoch_program_jit(state, pool_x, pool_y, pool_u, idx_l, idx_u,
+                       te_x, te_s, te_c, te_idx, *, cfg, g_tx, d_tx, paths):
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    from adversarial_learning_on_pointclouds_tpu.train import segment
+
+    with dispatch.path_context(paths):
+        def body(s, idxs):
+            il, iu = idxs
+            return _train_step_impl(
+                s, jnp.take(pool_x, il, axis=0),
+                jnp.take(pool_y, il, axis=0),
+                jnp.take(pool_u, iu, axis=0), cfg, g_tx, d_tx)
+
+        state, ms = jax.lax.scan(body, state, (idx_l, idx_u))
+        ev = segment.eval_scan_inner(state.g_params, state.g_bn_state,
+                                     te_x, te_s, te_c, te_idx)
+        return state, ms, ev
+
+
+def epoch_program(state: state_lib.GANTrainState, pool_x, pool_y, pool_u,
+                  idx_l: jnp.ndarray, idx_u: jnp.ndarray,
+                  te_x, te_s, te_c, te_idx: jnp.ndarray, *,
+                  cfg: AdversarialConfig, g_tx, d_tx):
+    """A FULL epoch — ``spe`` G+D steps AND the whole-test-set eval scan —
+    as ONE compiled program (``--fused_epoch``, VERDICT r2 next #3).
+
+    Through a tunneled chip the per-epoch floor is launch/readback round
+    trips: with ``--scan 8`` the steady epoch is ~0.18 s of train
+    dispatch but ~0.93 s of eval launch + metric drain. Fusing the eval
+    scan behind the train scan in the SAME program removes the separate
+    eval dispatch and lets one readback group drain both the [K] train
+    metrics and the [S, B] eval reductions. ``idx_l``/``idx_u`` are
+    ``[spe, B]`` int32 epoch plans; ``te_idx`` the ``[S, B]`` eval plan
+    (same protocol as ``eval.evaluate_segmenter_device``)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    return _epoch_program_jit(state, pool_x, pool_y, pool_u, idx_l, idx_u,
+                              te_x, te_s, te_c, te_idx, cfg=cfg, g_tx=g_tx,
+                              d_tx=d_tx, paths=dispatch.current_paths())
+
+
 def train_steps_scan_gather(state: state_lib.GANTrainState,
                             pool_x: jnp.ndarray, pool_y: jnp.ndarray,
                             pool_u: jnp.ndarray, idx_l: jnp.ndarray,

@@ -321,6 +321,14 @@ def run_adversarial(cfg: AdversarialConfig,
         unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
                                                  seed=cfg.seed + 1)
     table: dict = {}
+    if cfg.fused_epoch and not cfg.device_data:
+        raise ValueError("--fused_epoch needs device-resident pools "
+                         "(drop --host_data)")
+    te_mask = None
+    if cfg.fused_epoch:
+        # Fixed whole-test-pass eval plan, reused every epoch.
+        te_idx_np, te_mask = eval_lib._eval_indices(len(s_te),
+                                                    cfg.batch_size)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
@@ -328,6 +336,34 @@ def run_adversarial(cfg: AdversarialConfig,
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
+            if cfg.fused_epoch:
+                # ONE launch per epoch: spe G+D steps + the eval scan
+                # (adversarial.epoch_program). One readback group drains
+                # the [K] train metrics and the [S, B] eval reductions.
+                idx_l_np = np.stack(list(loader.host_index_iterator(
+                    n_lab, cfg.batch_size, seed=cfg.seed, epoch=epoch)))
+                idx_u_np = np.stack([next(unl_idx_stream)
+                                     for _ in range(len(idx_l_np))])
+                idx_l, idx_u = loader._put((idx_l_np, idx_u_np), sharding,
+                                           batch_axis=1)
+                state, ms, ev_outs = adversarial.epoch_program(
+                    state, pool_x, pool_y, pool_u, idx_l, idx_u,
+                    *pools_te, te_idx_np, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+                k = len(idx_l_np)
+                step_h += k
+                logger.log_scan_steps(epoch, 0, spe, step_h, ms, k,
+                                      pts_per_step, n_chips)
+                t1 = time.perf_counter()
+                ev, table = eval_lib.summarize_segmenter_outs(
+                    ev_outs, s_te, c_te, te_mask)
+                best = max(best, ev["instance_miou"])
+                t2 = time.perf_counter()
+                if cfg.ckpt_policy != "none":
+                    saver.save(cfg.out_dir, epoch, state)
+                t3 = time.perf_counter()
+                logger.log_epoch(epoch, **ev, train_s=t1 - t0,
+                                 eval_s=t2 - t1, ckpt_s=t3 - t2)
+                continue
             if cfg.device_data:
                 lab_idx = loader.host_index_iterator(
                     n_lab, cfg.batch_size, seed=cfg.seed, epoch=epoch)

@@ -113,20 +113,28 @@ def eval_step(params, bn_state, points, part_labels, categories,
                       dispatch.current_paths())
 
 
+def eval_scan_inner(params, bn_state, pool_x, pool_y, pool_c, idx):
+    """Trace-level whole-test-pass scan (no jit wrapper): used by
+    ``eval_scan`` below and inlined into fused epoch programs
+    (``adversarial.epoch_program``) so train + eval share one launch."""
+    def body(_, ib):
+        x = jnp.take(pool_x, ib, axis=0)
+        y = jnp.take(pool_y, ib, axis=0)
+        c = jnp.take(pool_c, ib, axis=0)
+        logp, _, _, _ = apply_segmenter(params, bn_state, x, train=False)
+        pred = jnp.argmax(logp, -1)
+        return None, {"correct": jnp.sum(pred == y, axis=-1),
+                      "ious": metrics.shape_ious_device(pred, y, c)}
+
+    _, outs = jax.lax.scan(body, None, idx)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("paths",))
 def _eval_scan(params, bn_state, pool_x, pool_y, pool_c, idx, paths):
     with dispatch.path_context(paths):
-        def body(_, ib):
-            x = jnp.take(pool_x, ib, axis=0)
-            y = jnp.take(pool_y, ib, axis=0)
-            c = jnp.take(pool_c, ib, axis=0)
-            logp, _, _, _ = apply_segmenter(params, bn_state, x, train=False)
-            pred = jnp.argmax(logp, -1)
-            return None, {"correct": jnp.sum(pred == y, axis=-1),
-                          "ious": metrics.shape_ious_device(pred, y, c)}
-
-        _, outs = jax.lax.scan(body, None, idx)
-        return outs
+        return eval_scan_inner(params, bn_state, pool_x, pool_y, pool_c,
+                               idx)
 
 
 def eval_scan(params, bn_state, pool_x, pool_y, pool_c,

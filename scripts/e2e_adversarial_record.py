@@ -24,6 +24,11 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--scan", type=int, default=0)
+    p.add_argument("--fused_epoch", action="store_true",
+                   help="one compiled launch per epoch (train scan + "
+                        "eval scan) — VERDICT r2 next #3")
+    p.add_argument("--ckpt_policy", type=str, default="every",
+                   choices=("every", "latest", "none"))
     p.add_argument("--augment", action="store_true",
                    help="rotate/jitter on (NB the synthetic fixture's "
                         "labels are axis-aligned, so rotation hurts its "
@@ -58,6 +63,7 @@ def main():
         dataset=root, num_points=args.points, batch_size=args.batch,
         epochs=args.epochs, labeled_ratio=0.5, feature_transform=True,
         augment=args.augment, bf16=True, scan=args.scan, out_dir=out,
+        fused_epoch=args.fused_epoch, ckpt_policy=args.ckpt_policy,
         quiet=True)
 
     n_train = int(0.75 * args.shapes)
@@ -73,6 +79,7 @@ def main():
         "metric": "adversarial_e2e_epoch_throughput",
         "shapes": args.shapes, "points": args.points, "batch": args.batch,
         "epochs": args.epochs, "scan": args.scan,
+        "fused_epoch": args.fused_epoch,
         "wall_s": round(wall, 1),
         "epochs_per_sec": round(args.epochs / wall, 4),
         "points_per_sec_per_chip_incl_host": round(pts / wall / n_chips, 1),
