@@ -165,6 +165,16 @@ class AdversarialConfig(SegmentConfig):
                                   #   unlabeled forward / adv / semi / D
                                   #   (the config-3 baseline the
                                   #   adversarial gain is read against)
+    paired_heads: bool = False    # --paired_heads: batch the T-Net fc
+                                  #   heads across the labeled+unlabeled
+                                  #   streams ([2B,1024] rows, halving
+                                  #   the latency-bound tiny-matmul op
+                                  #   count); conv trunks/stashes stay
+                                  #   per-stream. Semantics delta: the
+                                  #   head's batch-axis BNs see the
+                                  #   combined 2B batch (like
+                                  #   --fused_forward, without its 2x
+                                  #   trunk stashes).
     fused_forward: bool = False   # one combined G fwd / D pass over
                                   #   [labeled; unlabeled]. Measured
                                   #   SLOWER on v5e (3.09M vs 3.35M
@@ -341,6 +351,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                    help="ablation control: CE-only training on the same "
                         "labeled subset (no adv/semi/D) — the baseline "
                         "the adversarial gain is measured against")
+    p.add_argument("--paired_heads", action="store_true",
+                   help="batch the T-Net fc heads across the labeled and "
+                        "unlabeled streams (head BN stats over 2B; conv "
+                        "trunks stay per-stream)")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
@@ -356,6 +370,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
+        paired_heads=a.paired_heads,
         fused_epoch=a.fused_epoch,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,

@@ -101,6 +101,60 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
     return point_feat, global_feature, trans, trans_feat, new_state
 
 
+def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
+                             x_a: jnp.ndarray, x_b: jnp.ndarray,
+                             train: bool):
+    """Two-stream encoder with the T-Net fc heads batched across streams
+    (``tnet.apply_tnet_pair``; adversarial ``--paired_heads``). The conv
+    layers and fused trunks stay per-stream — BN batch statistics and
+    stash sizes are identical to two sequential calls, state chained
+    a -> b. Returns ``(pf_a, g_a, pf_b, g_b, trans_feat_a, trans_feat_b,
+    new_state)``."""
+    from adversarial_learning_on_pointclouds_tpu.models.tnet import (
+        apply_tnet_pair,
+    )
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        trunk_train,
+    )
+
+    new_state = {}
+    t_a, t_b, new_state["stn"] = apply_tnet_pair(
+        params["stn"], state["stn"], x_a, x_b, train)
+    x_a = ops.batched_transform(x_a, t_a)
+    x_b = ops.batched_transform(x_b, t_b)
+    x_a, bn1_a = ops.linear_bn_act(
+        params["conv1"], params["bn1"], state["bn1"], x_a, train, "relu")
+    x_b, new_state["bn1"] = ops.linear_bn_act(
+        params["conv1"], params["bn1"], bn1_a, x_b, train, "relu")
+
+    tf_a = tf_b = None
+    if "fstn" in params:
+        tf_a, tf_b, new_state["fstn"] = apply_tnet_pair(
+            params["fstn"], state["fstn"], x_a, x_b, train)
+        x_a = ops.batched_transform(x_a, tf_a)
+        x_b = ops.batched_transform(x_b, tf_b)
+
+    def trunk(pf, s_bn2, s_bn3):
+        if train and ops.pallas_enabled():
+            g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+                pf,
+                params["conv2"]["w"], params["conv2"]["b"],
+                params["bn2"]["scale"], params["bn2"]["bias"],
+                params["conv3"]["w"], params["conv3"]["b"],
+                params["bn3"]["scale"], params["bn3"]["bias"])
+            return (g, _ema_stats(s_bn2, mu2, v2, pf),
+                    _ema_stats(s_bn3, mu3, v3, pf))
+        h, bn2 = ops.linear_bn_act(params["conv2"], params["bn2"], s_bn2,
+                                   pf, train, "relu")
+        h, bn3 = ops.linear_bn_act(params["conv3"], params["bn3"], s_bn3,
+                                   h, train, act=None)
+        return ops.max_points(h), bn2, bn3
+
+    g_a, bn2_a, bn3_a = trunk(x_a, state["bn2"], state["bn3"])
+    g_b, new_state["bn2"], new_state["bn3"] = trunk(x_b, bn2_a, bn3_a)
+    return x_a, g_a, x_b, g_b, tf_a, tf_b, new_state
+
+
 def apply_encoder(params: core.Params, state: core.BnState, x: jnp.ndarray,
                   train: bool, global_feat: bool = True,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],

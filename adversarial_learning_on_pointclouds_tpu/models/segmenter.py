@@ -106,3 +106,59 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
             train, "relu")
     h = ops.linear_act(params["conv4"], h, act=None)
     return jax.nn.log_softmax(h, axis=-1), trans, trans_feat, new_state
+
+
+def apply_segmenter_pair(params: core.Params, state: core.BnState,
+                         x_a: jnp.ndarray, x_b: jnp.ndarray,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                    Optional[jnp.ndarray],
+                                    Optional[jnp.ndarray], core.BnState]:
+    """TRAIN-mode two-stream segmenter with cross-stream-batched T-Net fc
+    heads (``--paired_heads``; see ``encoder.apply_encoder_parts_pair``).
+    The seg head runs per-stream (state chained a -> b) — its stashes are
+    the big [B, N, C] tensors that sank ``--fused_forward``. Returns
+    ``(logp_a, logp_b, trans_feat_a, trans_feat_b, new_state)``."""
+    from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+        _ema_stats, apply_encoder_parts_pair,
+    )
+
+    new_state = {}
+    pf_a, g_a, pf_b, g_b, tf_a, tf_b, new_state["feat"] = \
+        apply_encoder_parts_pair(params["feat"], state["feat"], x_a, x_b,
+                                 True)
+
+    def head(pf, g, bn_states):
+        if ops.pallas_enabled():
+            from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+                seg_head_train,
+            )
+            logp, mu1, v1, mu2, v2, mu3, v3 = seg_head_train.seg_head_train(
+                pf, g,
+                params["conv1"]["w"], params["conv1"]["b"],
+                params["bn1"]["scale"], params["bn1"]["bias"],
+                params["conv2"]["w"], params["conv2"]["b"],
+                params["bn2"]["scale"], params["bn2"]["bias"],
+                params["conv3"]["w"], params["conv3"]["b"],
+                params["bn3"]["scale"], params["bn3"]["bias"],
+                params["conv4"]["w"], params["conv4"]["b"])
+            stats = ((mu1, v1), (mu2, v2), (mu3, v3))
+            return logp, [_ema_stats(s, mu, v, pf)
+                          for s, (mu, v) in zip(bn_states, stats)]
+        c_pf = pf.shape[-1]
+        w1 = params["conv1"]["w"]
+        z = (core.matmul(pf, w1[:c_pf]) +
+             core.matmul(g, w1[c_pf:])[:, None, :] + params["conv1"]["b"])
+        h, bn1 = core.batch_norm(params["bn1"], bn_states[0], z, True)
+        h = jnp.maximum(h, 0)
+        h, bn2 = ops.linear_bn_act(params["conv2"], params["bn2"],
+                                   bn_states[1], h, True, "relu")
+        h, bn3 = ops.linear_bn_act(params["conv3"], params["bn3"],
+                                   bn_states[2], h, True, "relu")
+        h = ops.linear_act(params["conv4"], h, act=None)
+        return jax.nn.log_softmax(h, axis=-1), [bn1, bn2, bn3]
+
+    logp_a, bns_a = head(pf_a, g_a, [state["bn1"], state["bn2"],
+                                     state["bn3"]])
+    logp_b, bns_b = head(pf_b, g_b, bns_a)
+    new_state["bn1"], new_state["bn2"], new_state["bn3"] = bns_b
+    return logp_a, logp_b, tf_a, tf_b, new_state

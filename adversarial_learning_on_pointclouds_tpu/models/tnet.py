@@ -43,6 +43,44 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
                train: bool) -> Tuple[jnp.ndarray, core.BnState]:
     """``x: [B, N, k]`` -> transform ``[B, k, k]`` (+ updated BN state)."""
     k = x.shape[-1]  # fc3 emits k*k; k == input channel count
+    h, conv_state = _pooled_trunk(params, state, x, train)
+    out, fc_state = _fc_head_apply(params, state, h, train)
+    iden = jnp.eye(k, dtype=out.dtype).reshape(-1)
+    return (out + iden).reshape(-1, k, k), {**conv_state, **fc_state}
+
+
+def apply_tnet_pair(params: core.Params, state: core.BnState,
+                    x_a: jnp.ndarray, x_b: jnp.ndarray, train: bool,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, core.BnState]:
+    """Two same-shape streams with the fc head BATCHED across them.
+
+    The conv trunks (and their BN batch statistics) stay per-stream with
+    the EMA state chained a -> b — identical numerics to two sequential
+    ``apply_tnet`` calls. Only the [B, 1024]-row fc head runs once on the
+    stacked ``[2B, 1024]`` pool: at the reference batch 32 those three
+    matmuls are MXU-underutilized (M=32) and latency-bound, so halving
+    the op count is nearly free throughput (`--paired_heads` perf note in
+    BASELINE.md). Semantics delta vs sequential: the head's batch-axis
+    BNs see the combined 2B batch (one EMA update from combined stats
+    instead of two chained ones) — the same class of departure as
+    ``--fused_forward``, but WITHOUT doubling the [B, N, C] trunk
+    stashes, which is what made that mode lose."""
+    h_a, st_a = _pooled_trunk(params, state, x_a, train)
+    mid = dict(state)
+    mid.update(st_a)
+    h_b, st_b = _pooled_trunk(params, mid, x_b, train)
+    out, fc_state = _fc_head_apply(params, mid, jnp.concatenate(
+        [h_a, h_b], axis=0), train)
+    k = x_a.shape[-1]
+    iden = jnp.eye(k, dtype=out.dtype).reshape(-1)
+    trans = (out + iden).reshape(-1, k, k)
+    b = x_a.shape[0]
+    return trans[:b], trans[b:], {**st_a, **st_b, **fc_state}
+
+
+def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
+                  train: bool) -> Tuple[jnp.ndarray, core.BnState]:
+    """conv1..conv3 (+BNs) + symmetric max-pool -> ``[B, 1024]``."""
     new_state = {}
     if train and ops.pallas_enabled():
         # conv1 layerwise (tiny K — XLA already optimal; the trunk3
@@ -92,6 +130,15 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
                 params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
                 train=train, act="relu")
         h = ops.max_points(h)  # [B, 1024] symmetric pool
+    return h, new_state
+
+
+def _fc_head_apply(params: core.Params, state: core.BnState,
+                   h: jnp.ndarray, train: bool,
+                   ) -> Tuple[jnp.ndarray, core.BnState]:
+    """fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on pooled ``[B, 1024]`` rows
+    (identity bias added by the caller)."""
+    new_state = {}
     if train and ops.pallas_train_enabled():
         # The whole fc head — fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on
         # [B, 1024] — as ONE fused forward kernel + a fused BN-layers
@@ -129,5 +176,4 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
                 params[f"fc{i}"], params[f"bn_fc{i}"], state[f"bn_fc{i}"], h,
                 train=train, act="relu")
         h = core.dense(params["fc3"], h)
-    iden = jnp.eye(k, dtype=h.dtype).reshape(-1)
-    return (h + iden).reshape(-1, k, k), new_state
+    return h, new_state

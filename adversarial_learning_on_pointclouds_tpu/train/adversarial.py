@@ -138,6 +138,28 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         d_out_l, d_out_u = d_out[:b], d_out[b:]
         reg = (2.0 * losses.orthogonality_reg(tf_b)
                if tf_b is not None else 0.0)
+    elif cfg.paired_heads:
+        # Cross-stream-batched T-Net fc heads (the [B,1024]-row latency
+        # hot spot); conv trunks, stashes and their BN stats stay
+        # per-stream — see models.segmenter.apply_segmenter_pair and the
+        # BASELINE.md --paired_heads row.
+        from adversarial_learning_on_pointclouds_tpu.models import (
+            segmenter as _seg,
+        )
+
+        def seg_pair(p, s, xa, xb):
+            return _seg.apply_segmenter_pair(p, s, xa, xb)
+
+        if cfg.remat:
+            seg_pair = jax.checkpoint(seg_pair)
+        logp_l, logp_u, tf_l, tf_u, bn2 = seg_pair(g_params, g_bn, x_l,
+                                                   x_u)
+        probs_l = jnp.exp(logp_l)
+        probs_u = jnp.exp(logp_u)
+        d_out_l = _d_frozen(d_params, probs_l)
+        d_out_u = _d_frozen(d_params, probs_u)
+        reg = (losses.orthogonality_reg(tf_l)
+               + losses.orthogonality_reg(tf_u))
     else:
         logp_l, _, tf_l, bn1 = seg_train(g_params, g_bn, x_l)
         logp_u, _, tf_u, bn2 = seg_train(g_params, bn1, x_u)

@@ -39,6 +39,11 @@ def main() -> None:
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G fwd / D pass over [labeled; "
                         "unlabeled] (BN stats over the combined 2B batch)")
+    p.add_argument("--paired_heads", action="store_true",
+                   help="batch the T-Net fc heads across the two streams "
+                        "(head BN stats over 2B; trunks stay per-stream)")
+    p.add_argument("--no_paired_heads", action="store_true",
+                   help="explicitly disable --paired_heads")
     p.add_argument("--scan", type=int, default=8,
                    help="fuse K steps per program launch via lax.scan "
                         "(amortizes dispatch; the runner's --scan mode; "
@@ -70,7 +75,9 @@ def main() -> None:
     cfg = AdversarialConfig(batch_size=args.batch, num_points=args.points,
                             feature_transform=True, augment=True,
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
-                            remat=args.remat, fused_forward=args.fused_forward)
+                            remat=args.remat, fused_forward=args.fused_forward,
+                            paired_heads=(args.paired_heads
+                                          and not args.no_paired_heads))
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
     rng = np.random.default_rng(0)

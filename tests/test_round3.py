@@ -281,6 +281,96 @@ def test_supervised_only_matches_segment_ce_loss():
 
 
 # ---------------------------------------------------------------------------
+# --paired_heads cross-stream-batched T-Net fc heads (VERDICT r2 weak #1)
+# ---------------------------------------------------------------------------
+
+def _adv_batch(seed=0, n=N):
+    rng = np.random.default_rng(seed)
+    x_l = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
+    y_l = jnp.asarray(rng.integers(0, 50, (B, n)).astype(np.int32))
+    x_u = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
+    return x_l, y_l, x_u
+
+
+def test_paired_heads_identical_streams_match_sequential():
+    """With x_u == x_l the combined [2B] fc-head batch statistics equal
+    the per-stream statistics exactly (mean/var of [h;h] == of h), so
+    the paired G loss must reproduce the sequential one — isolating the
+    ONLY intended numerics delta (head BN batch) as the difference."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        AdversarialConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    x_l, y_l, _ = _adv_batch()
+    base = dict(num_parts=50, batch_size=B, num_points=N,
+                feature_transform=True)
+    cfg_seq = AdversarialConfig(**base)
+    cfg_pair = AdversarialConfig(paired_heads=True, **base)
+    state = adversarial.create_state(cfg_seq, 1)
+    semi_on = jnp.float32(1.0)
+    l_seq, _ = adversarial._g_loss_fn(
+        state.g_params, state.d_params, state.g_bn_state, x_l, y_l, x_l,
+        cfg_seq, semi_on)
+    l_pair, _ = adversarial._g_loss_fn(
+        state.g_params, state.d_params, state.g_bn_state, x_l, y_l, x_l,
+        cfg_pair, semi_on)
+    assert float(l_pair) == pytest.approx(float(l_seq), rel=1e-5)
+
+
+def test_paired_heads_step_trains():
+    """Full jitted G+D step under --paired_heads: runs, finite metrics,
+    both nets update, and the distinct-stream loss stays close to the
+    sequential loss (the head-BN batch delta is small at init)."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        AdversarialConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    x_l, y_l, x_u = _adv_batch(seed=5)
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                            feature_transform=True, paired_heads=True)
+    g_tx, d_tx = adversarial.make_txs(cfg, 1)
+    state = adversarial.create_state(cfg, 1)
+    new_state, m = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg,
+                                          g_tx=g_tx, d_tx=d_tx)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                        jax.tree_util.tree_leaves(new_state.g_params)))
+    assert changed
+    cfg_seq = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                                feature_transform=True)
+    _, m_seq = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg_seq,
+                                      g_tx=g_tx, d_tx=d_tx)
+    assert float(m["loss_g"]) == pytest.approx(float(m_seq["loss_g"]),
+                                               rel=0.05)
+
+
+def test_paired_heads_no_pallas_path():
+    """The paired path also works on the pure-jnp dispatch (CPU CI runs
+    the Pallas kernels in interpreter mode; this pins the XLA fallback)."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        AdversarialConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    x_l, y_l, x_u = _adv_batch(seed=6)
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
+                            feature_transform=True, paired_heads=True,
+                            use_pallas=False)
+    state = adversarial.create_state(cfg, 1)
+    with dispatch.use_pallas(False):
+        total, aux = adversarial._g_loss_fn(
+            state.g_params, state.d_params, state.g_bn_state, x_l, y_l,
+            x_u, cfg, jnp.float32(1.0))
+    assert np.isfinite(float(total))
+
+
+# ---------------------------------------------------------------------------
 # --fused_epoch single-launch epoch program (VERDICT r2 weak #3 / next #3)
 # ---------------------------------------------------------------------------
 
