@@ -466,6 +466,60 @@ def test_pallas_augment_off_is_bitwise_default():
 
 
 # ---------------------------------------------------------------------------
+# pool_fc_epilogue kernel (VERDICT r2 next #2a — built for measurement)
+# ---------------------------------------------------------------------------
+
+def test_pool_fc_epilogue_parity():
+    """Fused pool-affine + ReLU + fc1 + BN1-stats kernel vs the jnp
+    composition: outputs, batch stats, and every gradient."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        pool_fc_epilogue,
+    )
+
+    rng = np.random.default_rng(2)
+    Bx, C3, C1 = 8, 64, 32
+    mx = jnp.asarray(rng.standard_normal((Bx, C3)).astype(np.float32) + 1.0)
+    mn = jnp.asarray(mx - np.abs(
+        rng.standard_normal((Bx, C3)).astype(np.float32)) - 0.1)
+    s3c = jnp.asarray(rng.standard_normal(C3).astype(np.float32))
+    t3 = jnp.asarray(0.1 * rng.standard_normal(C3).astype(np.float32))
+    w1 = jnp.asarray(0.2 * rng.standard_normal((C3, C1)).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    args = (mx, mn, s3c, t3, w1, b1)
+
+    def ref(mx, mn, s3c, t3, w1, b1):
+        g = jnp.where(s3c >= 0, mx, mn) * s3c + t3
+        h = jnp.maximum(g, 0.0)
+        z1 = h @ w1 + b1
+        return z1, h, z1.mean(0), z1.var(0)
+
+    z1, h, mu, var, inv = pool_fc_epilogue.pool_fc_epilogue(*args)
+    rz, rh, rmu, rvar = ref(*args)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(rz), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(rh), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(rvar), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(inv),
+        1.0 / np.sqrt(np.asarray(rvar) + BN_EPS), rtol=1e-5)
+
+    def loss_k(*a):
+        z1, h, _, _, _ = pool_fc_epilogue.pool_fc_epilogue(*a)
+        return jnp.sum(jnp.sin(z1)) + jnp.sum(jnp.cos(h))
+
+    def loss_r(*a):
+        z1, h, _, _ = ref(*a)
+        return jnp.sum(jnp.sin(z1)) + jnp.sum(jnp.cos(h))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*args)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
 # CLI flag surface
 # ---------------------------------------------------------------------------
 
