@@ -98,6 +98,14 @@ class BaseConfig:
                                   #   device execution; 0 = strictly
                                   #   synchronous per-batch prints (the
                                   #   reference's stdout timing)
+    fused_epoch: bool = False     # --fused_epoch: run each FULL epoch
+                                  #   (spe train steps + the whole test
+                                  #   eval scan) as ONE compiled launch —
+                                  #   one dispatch + one readback group
+                                  #   per epoch. Implies device-resident
+                                  #   pools. Through a tunneled chip this
+                                  #   removes the ~0.9 s/epoch eval
+                                  #   launch+drain floor (BASELINE.md).
     workers: int = 0              # --workers (host prefetch threads)
     device_data: bool = True      # stage the train pools in device HBM
                                   #   once and gather batches on device
@@ -151,14 +159,6 @@ class AdversarialConfig(SegmentConfig):
     beta1_d: float = 0.9
     beta2_d: float = 0.99
     semi_start: int = 0           # --semi_start (iteration to enable L_semi)
-    fused_epoch: bool = False     # --fused_epoch: run each FULL epoch
-                                  #   (spe train steps + the whole test
-                                  #   eval scan) as ONE compiled launch —
-                                  #   one dispatch + one readback group
-                                  #   per epoch. Implies device-resident
-                                  #   pools. Through a tunneled chip this
-                                  #   removes the ~0.9 s/epoch eval
-                                  #   launch+drain floor (BASELINE.md).
     supervised_only: bool = False  # --supervised_only: ablation control —
                                   #   CE on the SAME labeled subset
                                   #   through the SAME pipeline, no
@@ -268,6 +268,9 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "reference DataLoader model) instead of the "
                         "default device-resident pools + on-device "
                         "batch gather ([B] index transfers only)")
+    p.add_argument("--fused_epoch", action="store_true",
+                   help="one compiled launch per epoch (train scan + "
+                        "eval scan); requires device-resident pools")
     p.add_argument("--num_devices", type=int, default=0,
                    help="DP mesh size (0 = all visible devices)")
 
@@ -301,6 +304,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         log_lag=a.log_lag,
         workers=a.workers,
         device_data=not a.host_data,
+        fused_epoch=a.fused_epoch,
         num_devices=a.num_devices,
     )
 
@@ -344,9 +348,6 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
     p.add_argument("--labeled_ratio", type=float, default=0.5)
     p.add_argument("--lr_D", type=float, default=1e-4)
     p.add_argument("--semi_start", type=int, default=0)
-    p.add_argument("--fused_epoch", action="store_true",
-                   help="one compiled launch per epoch (train scan + "
-                        "eval scan); requires device-resident pools")
     p.add_argument("--supervised_only", action="store_true",
                    help="ablation control: CE-only training on the same "
                         "labeled subset (no adv/semi/D) — the baseline "
@@ -371,7 +372,6 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
         paired_heads=a.paired_heads,
-        fused_epoch=a.fused_epoch,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,

@@ -34,6 +34,17 @@ def _eval_indices(n: int, batch_size: int):
     return flat.reshape(s, batch_size).astype(np.int32), mask
 
 
+def summarize_classifier_preds(preds, labels: np.ndarray, mask: np.ndarray,
+                               num_classes: int = 40) -> Dict[str, float]:
+    """Host-side reduction of a ``classify.eval_scan``-shaped ``[S, B]``
+    prediction array into the accuracy summary. Shared by
+    ``evaluate_classifier_device`` and the ``--fused_epoch`` paths."""
+    pred = np.asarray(preds).reshape(-1)[mask]
+    overall, avg_class = metrics.class_accuracies(pred, labels, num_classes)
+    return {"accuracy": overall, "avg_class_accuracy": avg_class,
+            "num_examples": float(len(labels))}
+
+
 def evaluate_classifier_device(params, bn_state, pool_x, labels: np.ndarray,
                                batch_size: int = 32, num_classes: int = 40,
                                ) -> Dict[str, float]:
@@ -43,10 +54,7 @@ def evaluate_classifier_device(params, bn_state, pool_x, labels: np.ndarray,
     the host-loop path (tests pin equality)."""
     idx, mask = _eval_indices(len(labels), batch_size)
     preds = classify.eval_scan(params, bn_state, pool_x, idx)
-    pred = np.asarray(preds).reshape(-1)[mask]
-    overall, avg_class = metrics.class_accuracies(pred, labels, num_classes)
-    return {"accuracy": overall, "avg_class_accuracy": avg_class,
-            "num_examples": float(len(labels))}
+    return summarize_classifier_preds(preds, labels, mask, num_classes)
 
 
 def summarize_segmenter_outs(outs, part_labels: np.ndarray,

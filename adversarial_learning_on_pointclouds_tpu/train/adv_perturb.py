@@ -101,3 +101,10 @@ def train_step(state: state_lib.TrainState, points: jnp.ndarray,
 # Device-resident-pool variants (see state_lib.gather_step_fns).
 train_step_gather, train_steps_scan_gather, train_steps_scan = \
     state_lib.gather_step_fns(_train_step_impl)
+
+
+# Fused whole-epoch program (--fused_epoch): the attack trainer shares
+# the classifier's eval protocol, so its epoch program ends in the same
+# eval scan (state_lib.epoch_program_fns).
+epoch_program = state_lib.epoch_program_fns(
+    _train_step_impl, classify.eval_scan_inner)

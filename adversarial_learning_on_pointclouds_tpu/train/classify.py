@@ -118,17 +118,24 @@ def eval_step(params, bn_state, points, labels) -> Dict[str, jnp.ndarray]:
                       dispatch.current_paths())
 
 
+def eval_scan_inner(params, bn_state, pool_x, idx):
+    """Trace-level whole-test-pass scan (no jit wrapper) — shared by
+    ``eval_scan`` and the fused epoch programs
+    (``state_lib.epoch_program_fns``)."""
+    def body(_, ib):
+        x = jnp.take(pool_x, ib, axis=0)
+        logp, _, _, _ = apply_classifier(params, bn_state, x,
+                                         train=False)
+        return None, jnp.argmax(logp, -1)
+
+    _, preds = jax.lax.scan(body, None, idx)
+    return preds
+
+
 @functools.partial(jax.jit, static_argnames=("paths",))
 def _eval_scan(params, bn_state, pool_x, idx, paths):
     with dispatch.path_context(paths):
-        def body(_, ib):
-            x = jnp.take(pool_x, ib, axis=0)
-            logp, _, _, _ = apply_classifier(params, bn_state, x,
-                                             train=False)
-            return None, jnp.argmax(logp, -1)
-
-        _, preds = jax.lax.scan(body, None, idx)
-        return preds
+        return eval_scan_inner(params, bn_state, pool_x, idx)
 
 
 def eval_scan(params, bn_state, pool_x, idx) -> jnp.ndarray:
@@ -137,3 +144,9 @@ def eval_scan(params, bn_state, pool_x, idx) -> jnp.ndarray:
     device-resident test pool."""
     return _eval_scan(params, bn_state, pool_x, idx,
                       dispatch.current_paths())
+
+
+# Fused whole-epoch program: spe train steps + this eval scan in ONE
+# launch (--fused_epoch; see state_lib.epoch_program_fns).
+epoch_program = state_lib.epoch_program_fns(_train_step_impl,
+                                            eval_scan_inner)

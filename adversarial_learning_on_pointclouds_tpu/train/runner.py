@@ -171,6 +171,38 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
     return state, step_h
 
 
+def _fused_epoch_setup(cfg, n_test):
+    """Shared ``--fused_epoch`` preflight: validate the data mode and
+    build the fixed whole-test-pass eval plan (``[S, B]`` index rows +
+    host validity mask, ``eval._eval_indices`` protocol)."""
+    if not cfg.fused_epoch:
+        return None, None
+    if not cfg.device_data:
+        raise ValueError("--fused_epoch needs device-resident pools "
+                         "(drop --host_data)")
+    return eval_lib._eval_indices(n_test, cfg.batch_size)
+
+
+def _fused_single_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
+                        pts_per_step, n_chips, step_h, pools, te_args,
+                        te_idx_np):
+    """One ``--fused_epoch`` epoch for a single-network trainer: the
+    whole epoch plan ships as ONE ``[spe, B]`` index array and
+    ``mod.epoch_program`` runs spe train steps + the eval scan in one
+    compiled launch. Returns ``(state, step_h, eval_outs)``."""
+    pool_x, pool_y, n = pools
+    idx_np = np.stack(list(loader.host_index_iterator(
+        n, cfg.batch_size, seed=cfg.seed, epoch=epoch)))
+    (idx,) = loader._put((idx_np,), sharding, batch_axis=1)
+    state, ms, ev_outs = mod.epoch_program(
+        state, pool_x, pool_y, idx, te_args, te_idx_np, cfg=cfg, tx=tx)
+    k = len(idx_np)
+    step_h += k
+    logger.log_scan_steps(epoch, 0, spe, step_h, ms, k, pts_per_step,
+                          n_chips)
+    return state, step_h, ev_outs
+
+
 def run_classification(cfg: ClassifyConfig,
                        epochs: Optional[int] = None) -> dict:
     """Configs 1-2: mirrors ``upstream:train_classification.py``."""
@@ -191,6 +223,7 @@ def run_classification(cfg: ClassifyConfig,
     if cfg.device_data:
         pool_te = replicate_tree(mesh, x_te)
         pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
@@ -198,18 +231,27 @@ def run_classification(cfg: ClassifyConfig,
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state, step_h = _single_net_epoch(
-                cfg, classify, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, step_h, pools=pools,
-                arrays=(x_tr, y_tr))
-            t1 = time.perf_counter()
-            ev = (eval_lib.evaluate_classifier_device(
-                      state.params, state.bn_state, pool_te, y_te,
-                      cfg.batch_size, cfg.num_classes)
-                  if cfg.device_data else
-                  eval_lib.evaluate_classifier(
-                      state.params, state.bn_state, x_te, y_te,
-                      cfg.batch_size, cfg.num_classes))
+            if cfg.fused_epoch:
+                state, step_h, preds = _fused_single_epoch(
+                    cfg, classify, state, tx, epoch, sharding, logger,
+                    spe, pts_per_step, n_chips, step_h, pools,
+                    (pool_te,), te_idx_np)
+                t1 = time.perf_counter()
+                ev = eval_lib.summarize_classifier_preds(
+                    preds, y_te, te_mask, cfg.num_classes)
+            else:
+                state, step_h = _single_net_epoch(
+                    cfg, classify, state, tx, epoch, sharding, logger, spe,
+                    pts_per_step, n_chips, step_h, pools=pools,
+                    arrays=(x_tr, y_tr))
+                t1 = time.perf_counter()
+                ev = (eval_lib.evaluate_classifier_device(
+                          state.params, state.bn_state, pool_te, y_te,
+                          cfg.batch_size, cfg.num_classes)
+                      if cfg.device_data else
+                      eval_lib.evaluate_classifier(
+                          state.params, state.bn_state, x_te, y_te,
+                          cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
             if cfg.ckpt_policy != "none":
@@ -239,6 +281,7 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     if cfg.device_data:
         pools_te = replicate_tree(mesh, (x_te, s_te, c_te))
         pools = (*replicate_tree(mesh, (x_tr, s_tr)), len(s_tr))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
@@ -246,18 +289,27 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state, step_h = _single_net_epoch(
-                cfg, segment, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, step_h, pools=pools,
-                arrays=(x_tr, s_tr))
-            t1 = time.perf_counter()
-            ev, table = (eval_lib.evaluate_segmenter_device(
-                             state.params, state.bn_state, *pools_te,
-                             s_te, c_te, cfg.batch_size)
-                         if cfg.device_data else
-                         eval_lib.evaluate_segmenter(
-                             state.params, state.bn_state, x_te, s_te,
-                             c_te, cfg.batch_size))
+            if cfg.fused_epoch:
+                state, step_h, ev_outs = _fused_single_epoch(
+                    cfg, segment, state, tx, epoch, sharding, logger,
+                    spe, pts_per_step, n_chips, step_h, pools, pools_te,
+                    te_idx_np)
+                t1 = time.perf_counter()
+                ev, table = eval_lib.summarize_segmenter_outs(
+                    ev_outs, s_te, c_te, te_mask)
+            else:
+                state, step_h = _single_net_epoch(
+                    cfg, segment, state, tx, epoch, sharding, logger, spe,
+                    pts_per_step, n_chips, step_h, pools=pools,
+                    arrays=(x_tr, s_tr))
+                t1 = time.perf_counter()
+                ev, table = (eval_lib.evaluate_segmenter_device(
+                                 state.params, state.bn_state, *pools_te,
+                                 s_te, c_te, cfg.batch_size)
+                             if cfg.device_data else
+                             eval_lib.evaluate_segmenter(
+                                 state.params, state.bn_state, x_te, s_te,
+                                 c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
             if cfg.ckpt_policy != "none":
@@ -321,14 +373,7 @@ def run_adversarial(cfg: AdversarialConfig,
         unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
                                                  seed=cfg.seed + 1)
     table: dict = {}
-    if cfg.fused_epoch and not cfg.device_data:
-        raise ValueError("--fused_epoch needs device-resident pools "
-                         "(drop --host_data)")
-    te_mask = None
-    if cfg.fused_epoch:
-        # Fixed whole-test-pass eval plan, reused every epoch.
-        te_idx_np, te_mask = eval_lib._eval_indices(len(s_te),
-                                                    cfg.batch_size)
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
@@ -444,6 +489,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     if cfg.device_data:
         pool_te = replicate_tree(mesh, x_te)
         pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te))
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
@@ -451,18 +497,27 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            state, step_h = _single_net_epoch(
-                cfg, adv_perturb, state, tx, epoch, sharding, logger, spe,
-                pts_per_step, n_chips, step_h, pools=pools,
-                arrays=(x_tr, y_tr))
-            t1 = time.perf_counter()
-            ev = (eval_lib.evaluate_classifier_device(
-                      state.params, state.bn_state, pool_te, y_te,
-                      cfg.batch_size, cfg.num_classes)
-                  if cfg.device_data else
-                  eval_lib.evaluate_classifier(
-                      state.params, state.bn_state, x_te, y_te,
-                      cfg.batch_size, cfg.num_classes))
+            if cfg.fused_epoch:
+                state, step_h, preds = _fused_single_epoch(
+                    cfg, adv_perturb, state, tx, epoch, sharding, logger,
+                    spe, pts_per_step, n_chips, step_h, pools,
+                    (pool_te,), te_idx_np)
+                t1 = time.perf_counter()
+                ev = eval_lib.summarize_classifier_preds(
+                    preds, y_te, te_mask, cfg.num_classes)
+            else:
+                state, step_h = _single_net_epoch(
+                    cfg, adv_perturb, state, tx, epoch, sharding, logger,
+                    spe, pts_per_step, n_chips, step_h, pools=pools,
+                    arrays=(x_tr, y_tr))
+                t1 = time.perf_counter()
+                ev = (eval_lib.evaluate_classifier_device(
+                          state.params, state.bn_state, pool_te, y_te,
+                          cfg.batch_size, cfg.num_classes)
+                      if cfg.device_data else
+                      eval_lib.evaluate_classifier(
+                          state.params, state.bn_state, x_te, y_te,
+                          cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
             if cfg.ckpt_policy != "none":

@@ -150,3 +150,9 @@ def eval_scan(params, bn_state, pool_x, pool_y, pool_c,
     reductions."""
     return _eval_scan(params, bn_state, pool_x, pool_y, pool_c, idx,
                       dispatch.current_paths())
+
+
+# Fused whole-epoch program: spe train steps + this eval scan in ONE
+# launch (--fused_epoch; see state_lib.epoch_program_fns).
+epoch_program = state_lib.epoch_program_fns(_train_step_impl,
+                                            eval_scan_inner)

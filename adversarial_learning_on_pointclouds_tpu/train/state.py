@@ -134,3 +134,40 @@ def gather_step_fns(impl):
                          paths=dispatch.current_paths())
 
     return train_step_gather, train_steps_scan_gather, train_steps_scan
+
+
+def epoch_program_fns(impl, eval_inner):
+    """Build ``epoch_program(state, pool_x, pool_y, idx, te_args, te_idx,
+    cfg=, tx=)`` for a single-network trainer — the FULL epoch (``spe``
+    train steps scanned over ``idx [spe, B]`` + the whole-test-pass eval
+    scan from ``eval_inner``) as ONE compiled program (``--fused_epoch``;
+    the single-net twin of ``adversarial.epoch_program``). Returns
+    ``(new_state, metrics [spe], eval_outs)``; one dispatch and one
+    readback group per epoch. ``te_args`` is the tuple of device-resident
+    eval pools ``eval_inner`` consumes ahead of ``te_idx``."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "tx", "paths"))
+    def _epoch_jit(state, pool_x, pool_y, idx, te_args, te_idx, *,
+                   cfg, tx, paths):
+        with dispatch.path_context(paths):
+            def body(s, ib):
+                return impl(s, jnp.take(pool_x, ib, axis=0),
+                            jnp.take(pool_y, ib, axis=0), cfg, tx)
+
+            state, ms = jax.lax.scan(body, state, idx)
+            ev = eval_inner(state.params, state.bn_state, *te_args,
+                            te_idx)
+            return state, ms, ev
+
+    def epoch_program(state, pool_x, pool_y, idx, te_args, te_idx, *,
+                      cfg, tx):
+        return _epoch_jit(state, pool_x, pool_y, idx, tuple(te_args),
+                          te_idx, cfg=cfg, tx=tx,
+                          paths=dispatch.current_paths())
+
+    return epoch_program

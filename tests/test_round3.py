@@ -397,6 +397,25 @@ def test_fused_epoch_matches_stepwise(tmp_path):
         assert r_fused["category_miou"][k] == pytest.approx(v, abs=1e-5)
 
 
+def test_fused_epoch_single_net_matches_stepwise(tmp_path):
+    """--fused_epoch on the single-network trainers (classification here;
+    segmentation/adv-perturb share state_lib.epoch_program_fns) matches
+    the per-step path."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        ClassifyConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+
+    base = dict(batch_size=4, num_points=64, epochs=2, num_classes=4,
+                ckpt_policy="none", quiet=True, num_devices=1, seed=1)
+    r_step = runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "step"), **base))
+    r_fused = runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "fused"), fused_epoch=True, **base))
+    assert r_fused["best_accuracy"] == pytest.approx(
+        r_step["best_accuracy"], abs=1e-6)
+
+
 def test_fused_epoch_rejects_host_data():
     from adversarial_learning_on_pointclouds_tpu.configs import (
         AdversarialConfig,
