@@ -44,6 +44,9 @@ def main() -> None:
                         "(head BN stats over 2B; trunks stay per-stream)")
     p.add_argument("--no_paired_heads", action="store_true",
                    help="explicitly disable --paired_heads")
+    p.add_argument("--pallas_augment", action="store_true",
+                   help="fused Pallas augmentation pass inside the step "
+                        "(on-core PRNG) instead of the jnp chain")
     p.add_argument("--scan", type=int, default=8,
                    help="fuse K steps per program launch via lax.scan "
                         "(amortizes dispatch; the runner's --scan mode; "
@@ -77,7 +80,8 @@ def main() -> None:
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
                             remat=args.remat, fused_forward=args.fused_forward,
                             paired_heads=(args.paired_heads
-                                          and not args.no_paired_heads))
+                                          and not args.no_paired_heads),
+                            pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
     rng = np.random.default_rng(0)
