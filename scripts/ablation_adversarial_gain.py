@@ -17,7 +17,7 @@ markdown table on stdout for BASELINE.md.
 
 Usage (defaults reproduce the recorded BASELINE.md table):
     python scripts/ablation_adversarial_gain.py \
-        --seeds 3 --ratios 0.25 0.5 --nepoch 40 --num_shapes 512
+        --seeds 3 --ratios 0.25 0.5 --nepoch 100 --num_shapes 512
 """
 
 import argparse
@@ -34,7 +34,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=3, help="seeds per cell")
     p.add_argument("--ratios", type=float, nargs="+", default=[0.25, 0.5])
-    p.add_argument("--nepoch", type=int, default=40)
+    p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--batchSize", type=int, default=16)
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--num_shapes", type=int, default=512,
@@ -46,6 +46,8 @@ def main():
     p.add_argument("--semi_start", type=int, default=0)
     p.add_argument("--lambda_semi", type=float, default=0.1)
     p.add_argument("--lambda_adv", type=float, default=0.01)
+    p.add_argument("--lambda_adv_unl", type=float, default=None)
+    p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--dataset", type=str, default="",
                    help="fixture root ('' = build a dedicated synthetic "
                         "fixture of --num_shapes shapes)")
@@ -87,6 +89,8 @@ def main():
                     epochs=a.nepoch, scan=a.scan,
                     semi_start=a.semi_start,
                     lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
+                    lambda_adv_unl=a.lambda_adv_unl,
+                    semi_threshold=a.threshold,
                     ckpt_policy="none", quiet=True,
                     out_dir=os.path.join(tempfile.gettempdir(),
                                          f"abl_{ratio}_{seed}_{mode}"))
@@ -114,7 +118,8 @@ def main():
     out = {"config": {k: getattr(a, k) for k in
                       ("seeds", "ratios", "nepoch", "batchSize",
                        "num_points", "num_shapes", "scan", "semi_start",
-                       "lambda_semi", "lambda_adv")},
+                       "lambda_semi", "lambda_adv", "lambda_adv_unl",
+                       "threshold")},
            "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)
