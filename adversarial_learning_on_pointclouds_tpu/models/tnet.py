@@ -170,6 +170,29 @@ def _fc_head_apply(params: core.Params, state: core.BnState,
                                          m=h.shape[0])
         new_state["bn_fc2"] = _ema_stats(state["bn_fc2"], mu2, v2,
                                          m=h.shape[0])
+    elif train and ops.pallas_enabled():
+        # fc1 + batch-BN1 + both ReLUs as the fused trunk-exit epilogue
+        # kernel (pool_fc_epilogue.relu_fc_bn_relu) with the full
+        # batch-stat backward in its custom VJP — the one fc-head fusion
+        # that beats XLA on v5e (isolated 0.79 vs 1.21 ms fwd+bwd,
+        # BASELINE.md round-3), unlike the full-head kernel above. The
+        # rest of the head (fc2+BN2+ReLU, fc3) stays in XLA.
+        from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+            _ema_stats,
+        )
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            pool_fc_epilogue,
+        )
+        h1, mu1, var1 = pool_fc_epilogue.relu_fc_bn_relu(
+            h, params["fc1"]["w"], params["fc1"]["b"],
+            params["bn_fc1"]["scale"], params["bn_fc1"]["bias"],
+            rm1=state["bn_fc1"]["mean"])
+        new_state["bn_fc1"] = _ema_stats(state["bn_fc1"], mu1, var1,
+                                         m=h.shape[0])
+        h, new_state["bn_fc2"] = ops.linear_bn_act(
+            params["fc2"], params["bn_fc2"], state["bn_fc2"], h1,
+            train=True, act="relu")
+        h = core.dense(params["fc3"], h)
     else:
         for i in range(1, 3):
             h, new_state[f"bn_fc{i}"] = ops.linear_bn_act(

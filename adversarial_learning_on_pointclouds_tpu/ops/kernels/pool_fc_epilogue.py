@@ -1,22 +1,24 @@
-"""Pool-epilogue + fc1 fusion (VERDICT round-2 next #2a).
+"""Pool-epilogue + fc1 + BN1 + ReLU fusion (VERDICT round-2 next #2a).
 
 The fused training trunks (``trunk_train.py``) exit with the pooled
 pre-affine extrema ``mx/mn [B, 1024]``; XLA then computes the pooled
-feature ``g = where(s3c>=0, mx, mn) * s3c + t3``, the post-pool ReLU, and
-the T-Net head's first matmul ``z1 = relu(g) @ w1 + b1`` plus BN1's
-batch-axis statistics as ~6 small ops. This kernel runs that whole
-epilogue as ONE ``grid=()`` pallas_call (everything fits VMEM: w1 is
-2 MB, the activations 128 KB) with a hand-derived VJP, so the trunk exit
-chains straight into the head with no XLA scheduling gaps.
+feature ``g = where(s3c>=0, mx, mn) * s3c + t3``, the post-pool ReLU,
+the T-Net head's first layer ``z1 = relu(g) @ w1 + b1``, its batch-axis
+BN statistics, the normalize, and the next ReLU as ~10 small ops. This
+kernel runs that whole region as ONE ``grid=()`` pallas_call
+(everything fits VMEM: w1 is 2 MB, activations 128 KB).
 
-Status: built for the measurement the round-2 verdict asked for. The
-isolated timing on v5e (see BASELINE.md round-3 rows) decides whether it
-wires into ``tnet._fc_head_apply``; its sibling full-head kernel
-(``fc_head_train.py``) measured SLOWER than XLA's layerwise chain, so
-this narrower fusion is measured before adoption, same discipline.
+The custom VJP is the standard batch-BN backward (ReLU' -> the
+``dy - t1/B - zhat*t2/B`` stat terms -> matmul backward -> pool-affine
+backward), computed in XLA — those are [B, 512]-sized elementwise ops
+plus two MXU-friendly matmuls, exactly what XLA schedules well (same
+split as ``fc_head_train``'s layer-3 backward). Gradients DO flow
+through the batch statistics (unlike the returned ``mu/var`` EMA
+auxiliaries, which are stop-gradient as everywhere else).
 
 BN moments are centered about the running mean ``rm1`` exactly like
-``fc_head_train._bn_fwd`` / ``core.batch_norm``.
+``fc_head_train._bn_fwd`` / ``core.batch_norm``. Isolated fwd+bwd at
+B=32, 1024->512 on v5e: see BASELINE.md round-3 rows.
 """
 
 from __future__ import annotations
@@ -36,8 +38,9 @@ def _row(a):
     return a.reshape(1, -1)
 
 
-def _fwd_kernel(mx_ref, mn_ref, s3c_ref, t3_ref, w1_ref, b1_ref, rm1_ref,
-                z1_ref, h_ref, mu_ref, var_ref, inv_ref):
+def _fwd_kernel(mx_ref, mn_ref, s3c_ref, t3_ref, w1_ref, b1_ref,
+                g1_ref, be1_ref, rm1_ref,
+                h1_ref, h_ref, z1_ref, mu_ref, var_ref, inv_ref):
     s3c = s3c_ref[...]
     sel = jnp.where(s3c >= 0.0, mx_ref[...], mn_ref[...])
     g = sel * s3c + t3_ref[...]
@@ -48,14 +51,18 @@ def _fwd_kernel(mx_ref, mn_ref, s3c_ref, t3_ref, w1_ref, b1_ref, rm1_ref,
     mu_c = jnp.sum(zc, axis=0, keepdims=True) / b
     m2 = jnp.sum(zc * zc, axis=0, keepdims=True) / b
     var = jnp.maximum(m2 - mu_c * mu_c, 0.0)
-    z1_ref[...] = z1
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    mu = mu_c + rm1_ref[...]
+    zhat = (z1 - mu) * inv
+    h1_ref[...] = jnp.maximum(zhat * g1_ref[...] + be1_ref[...], 0.0)
     h_ref[...] = h
-    mu_ref[...] = mu_c + rm1_ref[...]
+    z1_ref[...] = z1
+    mu_ref[...] = mu
     var_ref[...] = var
-    inv_ref[...] = jax.lax.rsqrt(var + BN_EPS)
+    inv_ref[...] = inv
 
 
-def _fwd_call(mx, mn, s3c, t3, w1, b1, rm1):
+def _fwd_call(mx, mn, s3c, t3, w1, b1, g1, be1, rm1):
     bsz, c3 = mx.shape
     c1 = w1.shape[1]
     full = lambda shape: pl.BlockSpec(shape, lambda: (0, 0),  # noqa: E731
@@ -65,43 +72,65 @@ def _fwd_call(mx, mn, s3c, t3, w1, b1, rm1):
         grid=(),
         in_specs=[full(mx.shape), full(mn.shape), full((1, c3)),
                   full((1, c3)), full(w1.shape), full((1, c1)),
-                  full((1, c1))],
+                  full((1, c1)), full((1, c1)), full((1, c1))],
         out_specs=tuple(full(s) for s in (
-            (bsz, c1), (bsz, c3), (1, c1), (1, c1), (1, c1))),
+            (bsz, c1), (bsz, c3), (bsz, c1), (1, c1), (1, c1), (1, c1))),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, c1), jnp.float32),
             jax.ShapeDtypeStruct((bsz, c3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c1), jnp.float32),
             jax.ShapeDtypeStruct((1, c1), jnp.float32),
             jax.ShapeDtypeStruct((1, c1), jnp.float32),
             jax.ShapeDtypeStruct((1, c1), jnp.float32),
         ),
         interpret=_interpret(),
-    )(mx, mn, _row(s3c), _row(t3), w1, _row(b1), _row(rm1))
+    )(mx, mn, _row(s3c), _row(t3), w1, _row(b1), _row(g1), _row(be1),
+      _row(rm1))
 
 
-def pool_fc_epilogue(mx, mn, s3c, t3, w1, b1, rm1=None):
+def pool_fc_epilogue(mx, mn, s3c, t3, w1, b1, g1, be1, rm1=None):
     """``(mx, mn) [B,c3]`` trunk extrema + BN3 fold scalars -> pooled
-    feature -> ReLU -> ``z1 = h @ w1 + b1`` with BN1 batch stats.
+    feature -> ReLU -> fc1 -> batch-BN (scale ``g1``, shift ``be1``) ->
+    ReLU, fused.
 
-    Returns ``(z1 [B,c1], h [B,c3], mu1, var1_biased, inv1)``; ``h`` is
-    the post-pool ReLU feature (callers reuse it instead of recomputing),
-    the statistics are stop-gradient auxiliaries.
+    Returns ``(h1 [B,c1], h [B,c3], mu1, var1_biased)``: ``h1`` the
+    post-BN ReLU feature (fully differentiable, batch-stat terms
+    included), ``h`` the post-pool ReLU feature for reuse, and the batch
+    statistics as STOP-GRADIENT auxiliaries for the running-stat EMA.
     """
     if rm1 is None:
         rm1 = jnp.zeros((w1.shape[1],), jnp.float32)
-    return _epilogue(mx, mn, s3c, t3, w1, b1,
-                     jax.lax.stop_gradient(rm1))
+    h1, h, mu, var = _epilogue(mx, mn, s3c, t3, w1, b1, g1, be1,
+                               jax.lax.stop_gradient(rm1))
+    return h1, h, mu, var
 
 
-def _primal(mx, mn, s3c, t3, w1, b1, rm1):
-    z1, h, mu, var, inv = _fwd_call(mx, mn, s3c, t3, w1, b1, rm1)
-    res = (mx, mn, s3c, h, w1)
-    return (z1, h, mu.reshape(-1), var.reshape(-1), inv.reshape(-1)), res
+def relu_fc_bn_relu(g, w1, b1, g1, be1, rm1=None):
+    """``relu(bn(relu(g) @ w1 + b1))`` via the same fused kernel: feed
+    ``g`` as both extrema with an identity fold (``s3c=1, t3=0`` makes
+    the in-kernel pool affine select ``mx`` verbatim), so the trunk's
+    existing pooled output composes with the epilogue kernel without
+    changing ``trunk_train``'s VJP boundary. The pooled input is already
+    non-negative, so the in-kernel ReLU is a no-op (relu∘relu == relu;
+    gradient routing identical). Returns ``(h1, mu1, var1_biased)``."""
+    c3 = g.shape[-1]
+    ones = jnp.ones((c3,), jnp.float32)
+    zeros = jnp.zeros((c3,), jnp.float32)
+    h1, _, mu, var = pool_fc_epilogue(g, g, ones, zeros, w1, b1, g1, be1,
+                                      rm1)
+    return h1, mu, var
+
+
+def _primal(mx, mn, s3c, t3, w1, b1, g1, be1, rm1):
+    h1, h, z1, mu, var, inv = _fwd_call(mx, mn, s3c, t3, w1, b1, g1, be1,
+                                        rm1)
+    res = (mx, mn, s3c, h, z1, w1, g1, be1, mu, inv)
+    return (h1, h, mu.reshape(-1), var.reshape(-1)), res
 
 
 @jax.custom_vjp
-def _epilogue(mx, mn, s3c, t3, w1, b1, rm1):
-    out, _ = _primal(mx, mn, s3c, t3, w1, b1, rm1)
+def _epilogue(mx, mn, s3c, t3, w1, b1, g1, be1, rm1):
+    out, _ = _primal(mx, mn, s3c, t3, w1, b1, g1, be1, rm1)
     return out
 
 
@@ -110,16 +139,31 @@ def _epilogue_fwd(*args):
 
 
 def _epilogue_bwd(res, cts):
-    (mx, mn, s3c, h, w1) = res
-    # Only z1's and h's cotangents are consumed; the stats are
-    # stop-gradient auxiliaries (same contract as fc_head_train).
-    dz1 = cts[0].astype(jnp.float32)
+    (mx, mn, s3c, h, z1, w1, g1, be1, mu, inv) = res
+    # h1's and h's cotangents are consumed; the mu/var EMA auxiliaries
+    # are stop-gradient (their cotangents are symbolically zero at every
+    # sanctioned call site — _ema_stats stop-gradients them).
+    dh1 = cts[0].astype(jnp.float32)
     dh_extra = cts[1].astype(jnp.float32)
+    b = z1.shape[0]
     hi = jax.lax.Precision.HIGHEST
+
+    # Batch-BN backward (gradients THROUGH the batch statistics).
+    zhat = (z1 - mu) * inv
+    h1 = jnp.maximum(zhat * _row(g1) + _row(be1), 0.0)
+    dy = dh1 * (h1 > 0.0).astype(jnp.float32)
+    t1 = jnp.sum(dy, axis=0, keepdims=True)
+    t2 = jnp.sum(dy * zhat, axis=0, keepdims=True)
+    dg1 = t2.reshape(-1)
+    dbe1 = t1.reshape(-1)
+    dz1 = (_row(g1) * inv) * (dy - t1 / b - zhat * (t2 / b))
+
     dw1 = _mxu_dot_t(h, dz1)
     db1 = jnp.sum(dz1, axis=0)
     dh = jax.lax.dot_general(dz1, w1, (((1,), (1,)), ((), ())),
                              precision=hi) + dh_extra
+
+    # Pool-affine backward.
     dg = dh * (h > 0.0).astype(jnp.float32)
     pos = s3c >= 0.0
     sel = jnp.where(pos, mx, mn)
@@ -128,7 +172,7 @@ def _epilogue_bwd(res, cts):
     dmn = jnp.where(pos, 0.0, dsel)
     ds3c = jnp.sum(dg * sel, axis=0)
     dt3 = jnp.sum(dg, axis=0)
-    return (dmx, dmn, ds3c, dt3, dw1.astype(w1.dtype), db1,
+    return (dmx, dmn, ds3c, dt3, dw1.astype(w1.dtype), db1, dg1, dbe1,
             jnp.zeros((w1.shape[1],), jnp.float32))
 
 

@@ -489,8 +489,11 @@ def test_pallas_augment_off_is_bitwise_default():
 # ---------------------------------------------------------------------------
 
 def test_pool_fc_epilogue_parity():
-    """Fused pool-affine + ReLU + fc1 + BN1-stats kernel vs the jnp
-    composition: outputs, batch stats, and every gradient."""
+    """Fused pool-affine + ReLU + fc1 + batch-BN + ReLU kernel vs the
+    jnp composition: outputs, batch stats, and every gradient —
+    INCLUDING the gradients that flow through the batch statistics (the
+    round-3 wiring bug this guards against: normalizing with
+    stop-gradient kernel stats drops the BN stat-backward terms)."""
     from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
     from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
         pool_fc_epilogue,
@@ -505,37 +508,86 @@ def test_pool_fc_epilogue_parity():
     t3 = jnp.asarray(0.1 * rng.standard_normal(C3).astype(np.float32))
     w1 = jnp.asarray(0.2 * rng.standard_normal((C3, C1)).astype(np.float32))
     b1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
-    args = (mx, mn, s3c, t3, w1, b1)
+    g1 = jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32))
+    be1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    args = (mx, mn, s3c, t3, w1, b1, g1, be1)
 
-    def ref(mx, mn, s3c, t3, w1, b1):
+    def ref(mx, mn, s3c, t3, w1, b1, g1, be1):
         g = jnp.where(s3c >= 0, mx, mn) * s3c + t3
         h = jnp.maximum(g, 0.0)
         z1 = h @ w1 + b1
-        return z1, h, z1.mean(0), z1.var(0)
+        mu, var = z1.mean(0), z1.var(0)
+        h1 = jnp.maximum(
+            (z1 - mu) * jax.lax.rsqrt(var + BN_EPS) * g1 + be1, 0.0)
+        return h1, h, mu, var
 
-    z1, h, mu, var, inv = pool_fc_epilogue.pool_fc_epilogue(*args)
-    rz, rh, rmu, rvar = ref(*args)
-    np.testing.assert_allclose(np.asarray(z1), np.asarray(rz), atol=1e-5)
+    h1, h, mu, var = pool_fc_epilogue.pool_fc_epilogue(*args)
+    r1, rh, rmu, rvar = ref(*args)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(r1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h), np.asarray(rh), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(var), np.asarray(rvar), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(inv),
-        1.0 / np.sqrt(np.asarray(rvar) + BN_EPS), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(rvar),
+                               atol=1e-5)
 
     def loss_k(*a):
-        z1, h, _, _, _ = pool_fc_epilogue.pool_fc_epilogue(*a)
-        return jnp.sum(jnp.sin(z1)) + jnp.sum(jnp.cos(h))
+        h1, h, _, _ = pool_fc_epilogue.pool_fc_epilogue(*a)
+        return jnp.sum(jnp.sin(h1)) + jnp.sum(jnp.cos(h))
 
     def loss_r(*a):
-        z1, h, _, _ = ref(*a)
-        return jnp.sum(jnp.sin(z1)) + jnp.sum(jnp.cos(h))
+        h1, h, _, _ = ref(*a)
+        return jnp.sum(jnp.sin(h1)) + jnp.sum(jnp.cos(h))
 
-    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
-    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*args)
+    gk = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(8)))(*args)
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5)
+                                   atol=5e-5)
+
+
+def test_relu_fc_bn_relu_matches_layerwise_head_layer():
+    """The g-consuming wrapper equals core.batch_norm's fc1+BN+ReLU on a
+    non-negative pooled input — value AND gradients (batch-stat terms
+    included)."""
+    from adversarial_learning_on_pointclouds_tpu.models import core
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        pool_fc_epilogue,
+    )
+
+    rng = np.random.default_rng(5)
+    Bx, C0, C1 = 8, 64, 32
+    # Raw (pre-ReLU) input: both paths apply relu(g) themselves, so the
+    # gradient masks agree everywhere except the measure-zero g == 0 set
+    # (exact zeros WOULD differ: jnp.maximum ties split 0.5, the kernel's
+    # h>0 mask gives 0 — irrelevant off ties, avoided here).
+    g = jnp.asarray(rng.standard_normal((Bx, C0)).astype(np.float32))
+    w1 = jnp.asarray(0.2 * rng.standard_normal((C0, C1)).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    ga = jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    bn_p = {"scale": ga, "bias": be}
+    bn_s = {"mean": jnp.asarray(0.1 * rng.standard_normal(C1)
+                                .astype(np.float32)),
+            "var": jnp.ones((C1,), jnp.float32)}
+
+    def ref(g, w1, b1):
+        z = core.matmul(jnp.maximum(g, 0.0), w1) + b1
+        y, _ = core.batch_norm(bn_p, bn_s, z, train=True)
+        return jnp.maximum(y, 0.0)
+
+    def ker(g, w1, b1):
+        h1, _, _ = pool_fc_epilogue.relu_fc_bn_relu(
+            g, w1, b1, ga, be, rm1=bn_s["mean"])
+        return h1
+
+    np.testing.assert_allclose(np.asarray(ker(g, w1, b1)),
+                               np.asarray(ref(g, w1, b1)), atol=1e-5)
+    gk = jax.grad(lambda *a: jnp.sum(jnp.sin(ker(*a))),
+                  argnums=(0, 1, 2))(g, w1, b1)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2))(g, w1, b1)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
 
 
 # ---------------------------------------------------------------------------
