@@ -166,15 +166,17 @@ class AdversarialConfig(SegmentConfig):
                                   #   (the config-3 baseline the
                                   #   adversarial gain is read against)
     paired_heads: bool = False    # --paired_heads: batch the T-Net fc
-                                  #   heads across the labeled+unlabeled
-                                  #   streams ([2B,1024] rows, halving
-                                  #   the latency-bound tiny-matmul op
-                                  #   count); conv trunks/stashes stay
-                                  #   per-stream. Semantics delta: the
-                                  #   head's batch-axis BNs see the
-                                  #   combined 2B batch (like
-                                  #   --fused_forward, without its 2x
-                                  #   trunk stashes).
+                                  #   head MATMULS across the labeled+
+                                  #   unlabeled streams ([2B,1024] rows,
+                                  #   halving the latency-bound
+                                  #   tiny-matmul op count); conv
+                                  #   trunks/stashes stay per-stream and
+                                  #   the head's batch-axis BNs compute
+                                  #   PER-STREAM statistics with the EMA
+                                  #   chained a -> b
+                                  #   (core.batch_norm_grouped) — exact
+                                  #   sequential-call semantics, unlike
+                                  #   --fused_forward's combined-2B BN.
     fused_forward: bool = False   # one combined G fwd / D pass over
                                   #   [labeled; unlabeled]. Measured
                                   #   SLOWER on v5e (3.09M vs 3.35M
@@ -353,9 +355,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                         "labeled subset (no adv/semi/D) — the baseline "
                         "the adversarial gain is measured against")
     p.add_argument("--paired_heads", action="store_true",
-                   help="batch the T-Net fc heads across the labeled and "
-                        "unlabeled streams (head BN stats over 2B; conv "
-                        "trunks stay per-stream)")
+                   help="batch the T-Net fc head matmuls across the "
+                        "labeled and unlabeled streams; BN statistics "
+                        "stay per-stream (grouped BN — exact sequential "
+                        "semantics)")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "

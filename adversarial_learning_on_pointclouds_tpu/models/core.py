@@ -179,6 +179,45 @@ def batch_norm(p: Params, s: BnState, x: jnp.ndarray, train: bool,
     return y, new_s
 
 
+def batch_norm_grouped(p: Params, s: BnState, x: jnp.ndarray, train: bool,
+                       groups: int, momentum: float = BN_MOMENTUM,
+                       eps: float = BN_EPS) -> Tuple[jnp.ndarray, BnState]:
+    """Per-group BatchNorm over ``groups`` contiguous row-blocks of
+    ``x: [G*B, C]``.
+
+    Each block is normalized with ITS OWN batch statistics and the
+    running stats are EMA-chained block 0 -> G-1 — the exact statistics
+    of ``groups`` sequential ``batch_norm`` calls on the blocks. The
+    cross-stream-batched T-Net fc head (``--paired_heads``) uses this to
+    keep the matmuls batched ``[2B, C]`` while preserving the
+    reference's per-stream BN semantics (the only fp-level departure
+    from sequential calls is the centering constant: sequential block 2
+    centers its one-pass moments about the post-block-1 running mean;
+    here both blocks center about the incoming one — a rounding-only
+    difference, see ``batch_norm``'s moment notes). ``groups=1`` (and
+    eval mode, where running stats make grouping vacuous) defers to
+    ``batch_norm``.
+    """
+    if not train or groups == 1:
+        return batch_norm(p, s, x, train, momentum, eps)
+    gb, c = x.shape
+    b = gb // groups
+    cc = jax.lax.stop_gradient(s["mean"])
+    xc = (x - cc).reshape(groups, b, c)
+    mean_c = jnp.mean(xc, axis=1, keepdims=True)            # [G, 1, C]
+    m2 = jnp.mean(jnp.square(xc), axis=1, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean_c), 0.0)         # [G, 1, C]
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((xc - mean_c) * (inv * p["scale"]) + p["bias"]).reshape(gb, c)
+    mean = (mean_c + cc).reshape(groups, c)
+    unbiased = (var * (b / max(b - 1, 1))).reshape(groups, c)
+    new_mean, new_var = s["mean"], s["var"]
+    for i in range(groups):
+        new_mean = (1.0 - momentum) * new_mean + momentum * mean[i]
+        new_var = (1.0 - momentum) * new_var + momentum * unbiased[i]
+    return y, {"mean": new_mean, "var": new_var}
+
+
 def dropout(x: jnp.ndarray, rate: float, rng: jax.Array,
             train: bool) -> jnp.ndarray:
     """Inverted dropout, torch semantics (scale by 1/(1-p) at train time)."""

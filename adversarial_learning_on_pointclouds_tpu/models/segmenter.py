@@ -115,8 +115,10 @@ def apply_segmenter_pair(params: core.Params, state: core.BnState,
                                     Optional[jnp.ndarray], core.BnState]:
     """TRAIN-mode two-stream segmenter with cross-stream-batched T-Net fc
     heads (``--paired_heads``; see ``encoder.apply_encoder_parts_pair``).
-    The seg head runs per-stream (state chained a -> b) — its stashes are
-    the big [B, N, C] tensors that sank ``--fused_forward``. Returns
+    The head BNs keep PER-STREAM batch statistics (grouped BN — exact
+    sequential semantics) and the seg head runs per-stream (state chained
+    a -> b) — its stashes are the big [B, N, C] tensors that sank
+    ``--fused_forward``. Returns
     ``(logp_a, logp_b, trans_feat_a, trans_feat_b, new_state)``."""
     from adversarial_learning_on_pointclouds_tpu.models.encoder import (
         _ema_stats, apply_encoder_parts_pair,

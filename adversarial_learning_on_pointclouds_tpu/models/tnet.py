@@ -52,25 +52,28 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
 def apply_tnet_pair(params: core.Params, state: core.BnState,
                     x_a: jnp.ndarray, x_b: jnp.ndarray, train: bool,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, core.BnState]:
-    """Two same-shape streams with the fc head BATCHED across them.
+    """Two same-shape streams with the fc head matmuls BATCHED across
+    them — per-stream BN statistics (reference semantics preserved).
 
     The conv trunks (and their BN batch statistics) stay per-stream with
     the EMA state chained a -> b — identical numerics to two sequential
-    ``apply_tnet`` calls. Only the [B, 1024]-row fc head runs once on the
-    stacked ``[2B, 1024]`` pool: at the reference batch 32 those three
-    matmuls are MXU-underutilized (M=32) and latency-bound, so halving
-    the op count is nearly free throughput (`--paired_heads` perf note in
-    BASELINE.md). Semantics delta vs sequential: the head's batch-axis
-    BNs see the combined 2B batch (one EMA update from combined stats
-    instead of two chained ones) — the same class of departure as
-    ``--fused_forward``, but WITHOUT doubling the [B, N, C] trunk
-    stashes, which is what made that mode lose."""
+    ``apply_tnet`` calls. The [B, 1024]-row fc head runs its matmuls
+    once on the stacked ``[2B, 1024]`` pool: at the reference batch 32
+    those three matmuls are MXU-underutilized (M=32) and latency-bound,
+    so halving the op count is nearly free throughput (`--paired_heads`
+    perf note in BASELINE.md). The head's batch-axis BNs compute
+    statistics PER STREAM over the row blocks with the running-stat EMA
+    chained a -> b (``core.batch_norm_grouped`` / the grouped epilogue
+    kernel) — the exact statistics of two sequential calls, so unlike
+    ``--fused_forward`` there is no training-semantics departure, and
+    unlike it the [B, N, C] trunk stashes are not doubled (which is what
+    made that mode lose)."""
     h_a, st_a = _pooled_trunk(params, state, x_a, train)
     mid = dict(state)
     mid.update(st_a)
     h_b, st_b = _pooled_trunk(params, mid, x_b, train)
     out, fc_state = _fc_head_apply(params, mid, jnp.concatenate(
-        [h_a, h_b], axis=0), train)
+        [h_a, h_b], axis=0), train, streams=2)
     k = x_a.shape[-1]
     iden = jnp.eye(k, dtype=out.dtype).reshape(-1)
     trans = (out + iden).reshape(-1, k, k)
@@ -134,12 +137,49 @@ def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
 
 
 def _fc_head_apply(params: core.Params, state: core.BnState,
-                   h: jnp.ndarray, train: bool,
+                   h: jnp.ndarray, train: bool, streams: int = 1,
                    ) -> Tuple[jnp.ndarray, core.BnState]:
     """fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on pooled ``[B, 1024]`` rows
-    (identity bias added by the caller)."""
+    (identity bias added by the caller).
+
+    ``streams>1`` (the ``--paired_heads`` path): ``h`` is ``streams``
+    stacked per-stream pools ``[S*B, 1024]``; the matmuls run batched
+    but every batch-axis BN computes PER-STREAM statistics with the EMA
+    chained stream 0 -> S-1 — exactly the statistics of sequential
+    per-stream calls (``core.batch_norm_grouped``)."""
     new_state = {}
-    if train and ops.pallas_train_enabled():
+    if train and streams > 1:
+        from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+            _ema_stats,
+        )
+        b = h.shape[0] // streams
+        if ops.pallas_enabled() and not ops.pallas_train_enabled():
+            # Grouped variant of the trunk-exit epilogue kernel: batched
+            # fc1 matmul, per-stream BN1 stats in-kernel.
+            from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+                pool_fc_epilogue,
+            )
+            h1, mu1, var1 = pool_fc_epilogue.relu_fc_bn_relu(
+                h, params["fc1"]["w"], params["fc1"]["b"],
+                params["bn_fc1"]["scale"], params["bn_fc1"]["bias"],
+                rm1=state["bn_fc1"]["mean"], groups=streams)
+            st1 = state["bn_fc1"]
+            for i in range(streams):
+                st1 = _ema_stats(st1, mu1[i], var1[i], m=b)
+            new_state["bn_fc1"] = st1
+        else:
+            # XLA fallback (also covers the opt-in pallas_train mode —
+            # the full-head kernel has no grouped-BN variant and is
+            # measured slower anyway).
+            z1 = core.dense(params["fc1"], h)
+            h1, new_state["bn_fc1"] = core.batch_norm_grouped(
+                params["bn_fc1"], state["bn_fc1"], z1, True, streams)
+            h1 = jnp.maximum(h1, 0)
+        z2 = core.dense(params["fc2"], h1)
+        h2, new_state["bn_fc2"] = core.batch_norm_grouped(
+            params["bn_fc2"], state["bn_fc2"], z2, True, streams)
+        h = core.dense(params["fc3"], jnp.maximum(h2, 0))
+    elif train and ops.pallas_train_enabled():
         # The whole fc head — fc1+BN+ReLU -> fc2+BN+ReLU -> fc3 on
         # [B, 1024] — as ONE fused forward kernel + a fused BN-layers
         # backward kernel (fc3's affine backward stays in XLA, which also

@@ -53,17 +53,23 @@ def exp_epilogue():
     w1 = jax.device_put(0.05 * rng.standard_normal(
         (C3, C1)).astype(np.float32))
     b1 = jax.device_put(0.1 * rng.standard_normal(C1).astype(np.float32))
-    args = (mx, mn, s3c, t3, w1, b1)
+    g1 = jax.device_put(np.ones(C1, np.float32))
+    be1 = jax.device_put(np.zeros(C1, np.float32))
+    args = (mx, mn, s3c, t3, w1, b1, g1, be1)
 
-    def xla(mx, mn, s3c, t3, w1, b1):
+    def xla(mx, mn, s3c, t3, w1, b1, g1, be1):
+        from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
         g = jnp.where(s3c >= 0, mx, mn) * s3c + t3
         h = jnp.maximum(g, 0.0)
         z1 = jnp.matmul(h, w1, preferred_element_type=jnp.float32) + b1
-        return z1, h, z1.mean(0), z1.var(0)
+        mu, var = z1.mean(0), z1.var(0)
+        h1 = jnp.maximum(
+            (z1 - mu) * jax.lax.rsqrt(var + BN_EPS) * g1 + be1, 0.0)
+        return h1, h, mu, var
 
     def pal(*a):
-        z1, h, mu, var, _ = pool_fc_epilogue.pool_fc_epilogue(*a)
-        return z1, h, mu, var
+        h1, h, mu, var = pool_fc_epilogue.pool_fc_epilogue(*a)
+        return h1, h, mu, var
 
     timeit("epilogue fwd [xla]", jax.jit(xla), *args)
     timeit("epilogue fwd [pallas]", jax.jit(pal), *args)

@@ -261,9 +261,62 @@ def check_fc_head_train():
         assert worst <= 1e-3, worst
 
 
+def check_pool_fc_epilogue():
+    """Trunk-exit epilogue kernel (fc1 + batch-BN1 + ReLUs), compiled at
+    real head shapes (B=32 per stream, 1024->512): groups=1 (the default
+    fc-head path) and groups=2 (the --paired_heads per-stream grouped-BN
+    variant) vs the fp32-pinned jnp chain — values and gradients."""
+    from adversarial_learning_on_pointclouds_tpu.models.core import BN_EPS
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        pool_fc_epilogue,
+    )
+    hi = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    rng = np.random.default_rng(21)
+    B, C0, C1 = 32, 1024, 512
+    w1 = jnp.asarray((rng.standard_normal((C0, C1)) / np.sqrt(C0))
+                     .astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    g1 = jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32))
+    be1 = jnp.asarray(0.1 * rng.standard_normal(C1).astype(np.float32))
+    rm1 = jnp.asarray(0.05 * rng.standard_normal(C1).astype(np.float32))
+
+    def ref(g, w1, g1, be1, groups):
+        h = jnp.maximum(g, 0.0)
+        z1 = hi(h, w1) + b1
+        zg = z1.reshape(groups, z1.shape[0] // groups, C1)
+        mu = zg.mean(1, keepdims=True)
+        var = zg.var(1, keepdims=True)
+        h1 = jnp.maximum((zg - mu) * jax.lax.rsqrt(var + BN_EPS)
+                         * g1 + be1, 0.0)
+        return h1.reshape(z1.shape[0], C1)
+
+    for groups in (1, 2):
+        g = jnp.asarray(rng.standard_normal(
+            (groups * B, C0)).astype(np.float32))
+        out = jax.jit(lambda g, w1, g1, be1: pool_fc_epilogue.relu_fc_bn_relu(
+            g, w1, b1, g1, be1, rm1=rm1, groups=groups)[0])(g, w1, g1, be1)
+        _assert_close(f"pool_fc_epilogue groups={groups} fwd", out,
+                      ref(g, w1, g1, be1, groups))
+        gp = jax.jit(jax.grad(
+            lambda g, w1, g1, be1: jnp.sum(jnp.sin(
+                pool_fc_epilogue.relu_fc_bn_relu(
+                    g, w1, b1, g1, be1, rm1=rm1, groups=groups)[0])),
+            argnums=(0, 1, 2, 3)))(g, w1, g1, be1)
+        gr = jax.jit(jax.grad(
+            lambda g, w1, g1, be1: jnp.sum(jnp.sin(
+                ref(g, w1, g1, be1, groups))),
+            argnums=(0, 1, 2, 3)))(g, w1, g1, be1)
+        worst = max(float(jnp.max(jnp.abs(a - b))) /
+                    max(float(jnp.max(jnp.abs(b))), 1.0)
+                    for a, b in zip(gp, gr))
+        print(f"[{'OK ' if worst <= 1e-3 else 'FAIL'}] pool_fc_epilogue "
+              f"groups={groups} grads: worst rel={worst:.2e}")
+        assert worst <= 1e-3, worst
+
+
 ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
               check_augment_distributions, check_training_grads,
-              check_fc_head_train, check_timing)
+              check_fc_head_train, check_pool_fc_epilogue, check_timing)
 
 
 def main():

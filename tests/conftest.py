@@ -53,6 +53,37 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except Exception:
+        return 0.0
+
+
+_LAST_CLEAR_RSS = [0.0]
+
+
+def pytest_runtest_setup(item):
+    """Bound in-process XLA executable accumulation.
+
+    A full-suite run on this host grows to ~7-8 GB RSS of live compiled
+    executables, at which point XLA-CPU's backend_compile SEGVs
+    deterministically on the next large program (observed three times at
+    test_adversarial_gan_learns, ~93% through the suite; the same test
+    passes in isolation and memory is nowhere near the host limit — an
+    in-process JIT-code accumulation failure, not OOM). Dropping the jit
+    caches when RSS crosses a threshold keeps the process in the regime
+    where every compile succeeds; the occasional recompile of a shared
+    step costs seconds."""
+    rss = _rss_gb()
+    if rss > 5.0 and rss - _LAST_CLEAR_RSS[0] > 1.0:
+        jax.clear_caches()
+        import gc
+        gc.collect()
+        _LAST_CLEAR_RSS[0] = _rss_gb()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

@@ -43,6 +43,11 @@ def test_fc_head_train_compiled():
     check_fc_head_train()
 
 
+def test_pool_fc_epilogue_compiled():
+    from scripts.tpu_kernel_check import check_pool_fc_epilogue
+    check_pool_fc_epilogue()
+
+
 def test_fused_eval_timing_sane():
     from scripts.tpu_kernel_check import check_timing
     check_timing()
