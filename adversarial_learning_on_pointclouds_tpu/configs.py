@@ -165,7 +165,7 @@ class AdversarialConfig(SegmentConfig):
                                   #   unlabeled forward / adv / semi / D
                                   #   (the config-3 baseline the
                                   #   adversarial gain is read against)
-    paired_heads: bool = False    # --paired_heads: batch the T-Net fc
+    paired_heads: bool = True     # --paired_heads: batch the T-Net fc
                                   #   head MATMULS across the labeled+
                                   #   unlabeled streams ([2B,1024] rows,
                                   #   halving the latency-bound
@@ -177,6 +177,11 @@ class AdversarialConfig(SegmentConfig):
                                   #   (core.batch_norm_grouped) — exact
                                   #   sequential-call semantics, unlike
                                   #   --fused_forward's combined-2B BN.
+                                  #   DEFAULT ON since the grouped-BN
+                                  #   rework (measured +2.7% on v5e with
+                                  #   no numerics change;
+                                  #   --no_paired_heads restores the
+                                  #   sequential per-stream heads).
     fused_forward: bool = False   # one combined G fwd / D pass over
                                   #   [labeled; unlabeled]. Measured
                                   #   SLOWER on v5e (3.09M vs 3.35M
@@ -358,7 +363,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                    help="batch the T-Net fc head matmuls across the "
                         "labeled and unlabeled streams; BN statistics "
                         "stay per-stream (grouped BN — exact sequential "
-                        "semantics)")
+                        "semantics). DEFAULT ON; kept for symmetry")
+    p.add_argument("--no_paired_heads", action="store_true",
+                   help="disable the cross-stream-batched T-Net fc heads "
+                        "(run the two streams' heads sequentially)")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
@@ -374,7 +382,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
-        paired_heads=a.paired_heads,
+        paired_heads=not a.no_paired_heads,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,

@@ -40,10 +40,12 @@ def main() -> None:
                    help="one combined G fwd / D pass over [labeled; "
                         "unlabeled] (BN stats over the combined 2B batch)")
     p.add_argument("--paired_heads", action="store_true",
-                   help="batch the T-Net fc heads across the two streams "
-                        "(head BN stats over 2B; trunks stay per-stream)")
+                   help="batch the T-Net fc head matmuls across the two "
+                        "streams with per-stream grouped-BN statistics "
+                        "(exact sequential semantics). DEFAULT ON")
     p.add_argument("--no_paired_heads", action="store_true",
-                   help="explicitly disable --paired_heads")
+                   help="disable the paired heads (sequential per-stream "
+                        "fc heads, the pre-round-3 default)")
     p.add_argument("--pallas_augment", action="store_true",
                    help="fused Pallas augmentation pass inside the step "
                         "(on-core PRNG) instead of the jnp chain")
@@ -79,8 +81,7 @@ def main() -> None:
                             feature_transform=True, augment=True,
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
                             remat=args.remat, fused_forward=args.fused_forward,
-                            paired_heads=(args.paired_heads
-                                          and not args.no_paired_heads),
+                            paired_heads=not args.no_paired_heads,
                             pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 

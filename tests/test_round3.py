@@ -307,7 +307,7 @@ def test_paired_heads_distinct_streams_match_sequential():
     x_l, y_l, x_u = _adv_batch()
     base = dict(num_parts=50, batch_size=B, num_points=N,
                 feature_transform=True)
-    cfg_seq = AdversarialConfig(**base)
+    cfg_seq = AdversarialConfig(paired_heads=False, **base)
     cfg_pair = AdversarialConfig(paired_heads=True, **base)
     state = adversarial.create_state(cfg_seq, 1)
     semi_on = jnp.float32(1.0)
@@ -345,7 +345,7 @@ def test_paired_heads_grads_match_sequential_no_pallas():
     # tests); the CE + adv + ortho terms remain fully exercised.
     base = dict(num_parts=50, batch_size=B, num_points=N,
                 feature_transform=True, use_pallas=False)
-    cfg_seq = AdversarialConfig(**base)
+    cfg_seq = AdversarialConfig(paired_heads=False, **base)
     cfg_pair = AdversarialConfig(paired_heads=True, **base)
     state = adversarial.create_state(cfg_seq, 1)
     semi_on = jnp.float32(0.0)
@@ -392,7 +392,7 @@ def test_paired_heads_step_trains():
                         jax.tree_util.tree_leaves(new_state.g_params)))
     assert changed
     cfg_seq = AdversarialConfig(num_parts=50, batch_size=B, num_points=N,
-                                feature_transform=True)
+                                feature_transform=True, paired_heads=False)
     _, m_seq = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg_seq,
                                       g_tx=g_tx, d_tx=d_tx)
     assert float(m["loss_g"]) == pytest.approx(float(m_seq["loss_g"]),
@@ -736,3 +736,15 @@ def test_new_flags_parse():
     assert cfg.ckpt_policy == "latest" and cfg.log_lag == 0
     cfg2 = classify_config_from_args([])
     assert cfg2.ckpt_policy == "every" and cfg2.log_lag == 2
+
+
+def test_paired_heads_default_on_with_escape():
+    """--paired_heads is the adversarial default since the grouped-BN
+    rework made it numerics-exact; --no_paired_heads restores the
+    sequential per-stream heads."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        adversarial_config_from_args,
+    )
+    assert adversarial_config_from_args([]).paired_heads
+    assert not adversarial_config_from_args(
+        ["--no_paired_heads"]).paired_heads
