@@ -156,6 +156,12 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
                                                    x_u)
         probs_l = jnp.exp(logp_l)
         probs_u = jnp.exp(logp_u)
+        # NB batching these two frozen-D passes into one [2B,N,50] pass
+        # (exact — the D is pointwise with no BN) was measured SLOWER:
+        # 10.03M vs 10.28M pts/s/chip (the [2B] concat copy + the
+        # 512-tile disc kernel at 2B schedule worse than two sequential
+        # B-passes; the D-step's own concat is of stop_gradient'ed
+        # values, so the buffer is not reused). Receipt in BASELINE.md.
         d_out_l = _d_frozen(d_params, probs_l)
         d_out_u = _d_frozen(d_params, probs_u)
         reg = (losses.orthogonality_reg(tf_l)
