@@ -382,7 +382,9 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
-        paired_heads=not a.no_paired_heads,
+        # Default on; --no_paired_heads disables; an explicit
+        # --paired_heads wins if both are passed.
+        paired_heads=a.paired_heads or not a.no_paired_heads,
         fused_forward=a.fused_forward,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,

@@ -153,7 +153,13 @@ def _fc_head_apply(params: core.Params, state: core.BnState,
             _ema_stats,
         )
         b = h.shape[0] // streams
-        if ops.pallas_enabled() and not ops.pallas_train_enabled():
+        # The grouped kernel slices z1 at static row offsets i*b; Mosaic
+        # sublane alignment wants those at multiples of 8, so odd
+        # per-stream batch sizes take the XLA grouped path instead
+        # (paired_heads is the DEFAULT — it must not break --batchSize
+        # values the sequential path accepted).
+        if (ops.pallas_enabled() and not ops.pallas_train_enabled()
+                and b % 8 == 0):
             # Grouped variant of the trunk-exit epilogue kernel: batched
             # fc1 matmul, per-stream BN1 stats in-kernel.
             from adversarial_learning_on_pointclouds_tpu.ops.kernels import (

@@ -81,7 +81,8 @@ def main() -> None:
                             feature_transform=True, augment=True,
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
                             remat=args.remat, fused_forward=args.fused_forward,
-                            paired_heads=not args.no_paired_heads,
+                            paired_heads=(args.paired_heads
+                                          or not args.no_paired_heads),
                             pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 

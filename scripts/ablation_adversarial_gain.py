@@ -72,8 +72,12 @@ def main():
 
     root = a.dataset
     if not root:
-        root = os.path.join(tempfile.gettempdir(),
-                            f"pointtpu_ablation_shapenet_{a.num_shapes}")
+        # Keyed on shapes AND points — the listdir guard below would
+        # otherwise reuse a fixture generated at a different
+        # points-per-shape count.
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}")
         if not (os.path.isdir(root) and os.listdir(root)):
             make_synthetic_shapenet(root, num_shapes=a.num_shapes,
                                     num_points=a.num_points)

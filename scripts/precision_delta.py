@@ -51,8 +51,12 @@ def main():
     )
     from adversarial_learning_on_pointclouds_tpu.train import runner
 
-    root = os.path.join(tempfile.gettempdir(),
-                        f"pointtpu_ablation_shapenet_{a.num_shapes}")
+    # Keyed on shapes AND points: the cached-fixture guard would
+    # otherwise silently reuse a fixture generated at a different
+    # points-per-shape count (dir shared with the ablation script).
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}")
     if not (os.path.isdir(root) and os.listdir(root)):
         make_synthetic_shapenet(root, num_shapes=a.num_shapes,
                                 num_points=a.num_points)

@@ -76,6 +76,11 @@ def pytest_runtest_setup(item):
     caches when RSS crosses a threshold keeps the process in the regime
     where every compile succeeds; the occasional recompile of a shared
     step costs seconds."""
+    if TPU_MODE:
+        # Never drop compiled TPU executables mid-suite: each recompile
+        # costs 30s-15min through the tunnel (and the CPU-compile SEGV
+        # this hook works around has only been seen on the CPU backend).
+        return
     rss = _rss_gb()
     if rss > 5.0 and rss - _LAST_CLEAR_RSS[0] > 1.0:
         jax.clear_caches()

@@ -741,10 +741,43 @@ def test_new_flags_parse():
 def test_paired_heads_default_on_with_escape():
     """--paired_heads is the adversarial default since the grouped-BN
     rework made it numerics-exact; --no_paired_heads restores the
-    sequential per-stream heads."""
+    sequential per-stream heads; an explicit --paired_heads wins when
+    both are passed."""
     from adversarial_learning_on_pointclouds_tpu.configs import (
         adversarial_config_from_args,
     )
     assert adversarial_config_from_args([]).paired_heads
     assert not adversarial_config_from_args(
         ["--no_paired_heads"]).paired_heads
+    assert adversarial_config_from_args(
+        ["--paired_heads", "--no_paired_heads"]).paired_heads
+
+
+def test_paired_heads_odd_batch_uses_xla_grouped_path():
+    """Per-stream batches that are not sublane multiples (b % 8 != 0)
+    must skip the grouped epilogue kernel (Mosaic slices z1 at row
+    offsets i*b) and still match the sequential path via the XLA
+    grouped-BN fallback — paired_heads is the DEFAULT, so odd
+    --batchSize values the sequential path accepted must keep working."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        AdversarialConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    b_odd = 12  # not a multiple of 8
+    rng = np.random.default_rng(3)
+    x_l = jnp.asarray(rng.standard_normal((b_odd, N, 3)).astype(np.float32))
+    y_l = jnp.asarray(rng.integers(0, 50, (b_odd, N)).astype(np.int32))
+    x_u = jnp.asarray(rng.standard_normal((b_odd, N, 3)).astype(np.float32))
+    base = dict(num_parts=50, batch_size=b_odd, num_points=N,
+                feature_transform=True)
+    state = adversarial.create_state(
+        AdversarialConfig(paired_heads=False, **base), 1)
+    semi_on = jnp.float32(1.0)
+    l_seq, _ = adversarial._g_loss_fn(
+        state.g_params, state.d_params, state.g_bn_state, x_l, y_l, x_u,
+        AdversarialConfig(paired_heads=False, **base), semi_on)
+    l_pair, _ = adversarial._g_loss_fn(
+        state.g_params, state.d_params, state.g_bn_state, x_l, y_l, x_u,
+        AdversarialConfig(paired_heads=True, **base), semi_on)
+    assert float(l_pair) == pytest.approx(float(l_seq), rel=1e-5)
