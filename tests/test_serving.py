@@ -1,0 +1,129 @@
+"""Serving-artifact exports (utils/serving.py): round-trip parity.
+
+The reference's serving story is load-.pth-and-call
+(``upstream:eval_*.py``); here the deployable unit is a serialized
+``jax.export`` StableHLO artifact with the weights embedded. These tests
+pin: (a) the artifact reproduces the live eval forward exactly, (b) the
+symbolic batch dim serves multiple batch sizes from one artifact, (c)
+the artifact survives a real serialize -> bytes -> deserialize cycle
+with no model code on the loading side, and (d) the CLI drives the whole
+path from an on-disk checkpoint.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    ClassifyConfig, SegmentConfig,
+)
+from adversarial_learning_on_pointclouds_tpu.models import classifier, segmenter
+from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+from adversarial_learning_on_pointclouds_tpu.train import classify, segment
+from adversarial_learning_on_pointclouds_tpu.utils import serving
+
+N = 64
+
+
+def _cls_state():
+    cfg = ClassifyConfig(num_points=N, num_classes=7,
+                         feature_transform=True)
+    return classify.create_state(cfg, steps_per_epoch=1)
+
+
+def test_classifier_export_round_trip(tmp_path):
+    state = _cls_state()
+    exp = serving.export_classifier(state.params, state.bn_state, N,
+                                    platforms=("cpu",))
+    path = str(tmp_path / "cls.shlo")
+    serving.save_exported(exp, path)
+    loaded = serving.load_exported(path)
+
+    x = np.random.default_rng(0).standard_normal((5, N, 3)).astype(
+        np.float32)
+    got = np.asarray(loaded.call(x))
+    assert got.shape == (5, 7)
+    with use_pallas(False):
+        want = np.asarray(classifier.apply_classifier(
+            state.params, state.bn_state, jnp.asarray(x), train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_symbolic_batch_serves_multiple_sizes(tmp_path):
+    state = _cls_state()
+    exp = serving.export_classifier(state.params, state.bn_state, N,
+                                    platforms=("cpu",))
+    path = str(tmp_path / "cls.shlo")
+    serving.save_exported(exp, path)
+    loaded = serving.load_exported(path)
+    for b in (1, 3, 8):
+        x = np.zeros((b, N, 3), np.float32)
+        assert np.asarray(loaded.call(x)).shape == (b, 7)
+
+
+def test_pinned_batch_rejects_other_sizes(tmp_path):
+    state = _cls_state()
+    exp = serving.export_classifier(state.params, state.bn_state, N,
+                                    batch=4, platforms=("cpu",))
+    assert np.asarray(
+        exp.call(np.zeros((4, N, 3), np.float32))).shape == (4, 7)
+    with pytest.raises(Exception):
+        exp.call(np.zeros((2, N, 3), np.float32))
+
+
+def test_segmenter_export_round_trip(tmp_path):
+    cfg = SegmentConfig(num_points=N, num_parts=9, feature_transform=True)
+    state = segment.create_state(cfg, steps_per_epoch=1)
+    exp = serving.export_segmenter(state.params, state.bn_state, N,
+                                   platforms=("cpu",))
+    path = str(tmp_path / "seg.shlo")
+    serving.save_exported(exp, path)
+    loaded = serving.load_exported(path)
+
+    x = np.random.default_rng(1).standard_normal((3, N, 3)).astype(
+        np.float32)
+    got = np.asarray(loaded.call(x))
+    assert got.shape == (3, N, 9)
+    with use_pallas(False):
+        want = np.asarray(segmenter.apply_segmenter(
+            state.params, state.bn_state, jnp.asarray(x), train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_export_forces_xla_path_even_with_pallas_on(tmp_path):
+    # The exporting process may have Pallas dispatch enabled; the
+    # artifact must still be the portable XLA lowering (Mosaic custom
+    # calls would refuse the cpu platform / pin the TPU generation).
+    state = _cls_state()
+    with use_pallas(True):
+        exp = serving.export_classifier(state.params, state.bn_state, N,
+                                        platforms=("cpu",))
+    x = np.random.default_rng(2).standard_normal((2, N, 3)).astype(
+        np.float32)
+    got = np.asarray(exp.call(x))
+    with use_pallas(False):
+        want = np.asarray(classifier.apply_classifier(
+            state.params, state.bn_state, jnp.asarray(x), train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_export_serving_cli(tmp_path, monkeypatch):
+    # Full CLI path: train-state checkpoint on disk -> artifact ->
+    # --verify (deserialize + compare vs live model) asserts internally.
+    from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+    from scripts import export_serving
+
+    state = _cls_state()
+    ckpt = tmp_path / "ckpt"
+    checkpoint.save(str(ckpt), 0, state)
+    out = tmp_path / "cls.shlo"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["export_serving.py", "--model", "cls", "--checkpoint", str(ckpt),
+         "--out", str(out), "--num_points", str(N), "--num_classes", "7",
+         "--feature_transform", "--platforms", "cpu", "--batch", "2",
+         "--verify"])
+    export_serving.main()
+    assert out.exists() and out.stat().st_size > 0
