@@ -127,3 +127,45 @@ def test_export_serving_cli(tmp_path, monkeypatch):
          "--verify"])
     export_serving.main()
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_infer_cli_artifact_and_checkpoint(tmp_path, monkeypatch, capsys):
+    # Serving artifact -> infer over a .pts shape (seg, ply out), and a
+    # live checkpoint -> infer over an .h5 batch (cls).
+    import h5py
+
+    from adversarial_learning_on_pointclouds_tpu.configs import SegmentConfig
+    from adversarial_learning_on_pointclouds_tpu.train import segment
+    from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+    from scripts import infer
+
+    rng = np.random.default_rng(0)
+    pts = tmp_path / "shape.pts"
+    np.savetxt(pts, rng.standard_normal((100, 3)).astype(np.float32))
+
+    cfg = SegmentConfig(num_points=N, num_parts=9, feature_transform=True)
+    st = segment.create_state(cfg, 1)
+    exp = serving.export_segmenter(st.params, st.bn_state, N,
+                                   platforms=("cpu",))
+    art = tmp_path / "seg.shlo"
+    serving.save_exported(exp, str(art))
+    ply = tmp_path / "out.ply"
+    monkeypatch.setattr("sys.argv", [
+        "infer.py", "--artifact", str(art), "--kind", "seg",
+        "--input", str(pts), "--ply", str(ply)])
+    infer.main()
+    assert "parts {" in capsys.readouterr().out and ply.exists()
+
+    h5 = tmp_path / "clouds.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("data", data=rng.standard_normal(
+            (3, 80, 3)).astype(np.float32))
+    ckpt = tmp_path / "ckpt"
+    checkpoint.save(str(ckpt), 0, _cls_state())
+    monkeypatch.setattr("sys.argv", [
+        "infer.py", "--checkpoint", str(ckpt), "--model", "cls",
+        "--input", str(h5), "--num_points", str(N), "--num_classes", "7",
+        "--feature_transform", "--no_pallas"])
+    infer.main()
+    out = capsys.readouterr().out
+    assert out.count("class") == 3
