@@ -316,3 +316,57 @@ def test_point_axis_sharding(mesh):
     xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
     out = f(params, state, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_adversarial_fused_epoch_program_dp(mesh):
+    """--fused_epoch composes with the DP mesh: adversarial.epoch_program
+    (spe G+D steps + the eval scan in ONE program) on 8 emulated devices
+    matches single-device at the first step's losses (rel 1e-5 — later
+    steps ride post-Adam trajectories where reduction-order noise
+    amplifies by construction, see module docstring) and produces the
+    eval reductions at the right shapes."""
+    from adversarial_learning_on_pointclouds_tpu.data import loader
+
+    cfg = AdversarialConfig(num_parts=6, batch_size=B, num_points=N,
+                            feature_transform=False, augment=False,
+                            resample=False, normalize=False)
+    g_tx, d_tx = adversarial.make_txs(cfg, 2)
+    state = adversarial.create_state(cfg, 2)
+    rng = np.random.default_rng(7)
+    n_pool, n_te, spe, s_eval = 2 * B, B, 2, 1
+    pool_x = rng.standard_normal((n_pool, N, 3)).astype(np.float32)
+    pool_y = (rng.integers(0, 6, (n_pool, N))).astype(np.int32)
+    pool_u = rng.standard_normal((n_pool, N, 3)).astype(np.float32)
+    te_x = rng.standard_normal((n_te, N, 3)).astype(np.float32)
+    te_s = (rng.integers(0, 6, (n_te, N))).astype(np.int32)
+    te_c = np.zeros((n_te,), np.int32)
+    idx_l = np.stack([np.arange(B), np.arange(B, 2 * B)]).astype(np.int32)
+    idx_u = idx_l[::-1].copy()
+    te_idx = np.arange(n_te, dtype=np.int32).reshape(s_eval, B)
+
+    def run(dev_mesh):
+        st = (state if dev_mesh is None
+              else replicate_tree(dev_mesh, state))
+        args = [pool_x, pool_y, pool_u, te_x, te_s, te_c]
+        if dev_mesh is None:
+            px, py, pu, tx_, ts_, tc_ = map(jnp.asarray, args)
+            il, iu = jnp.asarray(idx_l), jnp.asarray(idx_u)
+        else:
+            px, py, pu, tx_, ts_, tc_ = replicate_tree(dev_mesh, args)
+            sh = batch_sharding(dev_mesh, 2)
+            il, iu = loader._put((idx_l, idx_u), sh, batch_axis=1)
+        return adversarial.epoch_program(
+            st, px, py, pu, il, iu, tx_, ts_, tc_, jnp.asarray(te_idx),
+            cfg=cfg, g_tx=g_tx, d_tx=d_tx)
+
+    _, ms1, ev1 = run(None)
+    _, ms8, ev8 = run(mesh)
+    for k in ms1:
+        a, b = np.asarray(ms1[k]), np.asarray(ms8[k])
+        assert a.shape == (spe,) and np.all(np.isfinite(b)), k
+        # First scanned step: identical params, global-batch semantics.
+        assert float(a[0]) == pytest.approx(float(b[0]), rel=1e-5), k
+    assert np.asarray(ev8["ious"]).shape == (s_eval, B)
+    assert np.asarray(ev8["correct"]).shape == (s_eval, B)
+    np.testing.assert_allclose(np.asarray(ev1["ious"]),
+                               np.asarray(ev8["ious"]), atol=0.02)
