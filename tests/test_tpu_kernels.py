@@ -51,3 +51,33 @@ def test_pool_fc_epilogue_compiled():
 def test_fused_eval_timing_sane():
     from scripts.tpu_kernel_check import check_timing
     check_timing()
+
+
+def test_serving_artifact_executes_on_tpu():
+    """The multi-platform serving artifact (utils/serving.py, lowered for
+    cpu+tpu from ANY host) must deserialize and execute on the real chip
+    with live-model parity — the deploy-side half of the export story."""
+    import numpy as np
+
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        ClassifyConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.models import classifier
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    from adversarial_learning_on_pointclouds_tpu.train import classify
+    from adversarial_learning_on_pointclouds_tpu.utils import serving
+
+    n = 64
+    cfg = ClassifyConfig(num_points=n, num_classes=7,
+                         feature_transform=True)
+    st = classify.create_state(cfg, 1)
+    art = serving.export_classifier(st.params, st.bn_state, n)  # cpu+tpu
+    import jax.export as jexport
+    loaded = jexport.deserialize(bytearray(art.serialize()))
+    x = np.random.default_rng(0).standard_normal((4, n, 3)).astype(
+        np.float32)
+    got = np.asarray(loaded.call(x))  # executes on the TPU backend
+    with use_pallas(False):
+        want = np.asarray(classifier.apply_classifier(
+            st.params, st.bn_state, x, train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
