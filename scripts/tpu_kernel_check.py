@@ -314,9 +314,51 @@ def check_pool_fc_epilogue():
         assert worst <= 1e-3, worst
 
 
+def check_ref_npoints():
+    """Compiled kernels at the reference lineage's seg default N=2500 —
+    a NON-power-of-two point count where ``_tile_n`` falls back to one
+    full-width N tile (2500 % 8 != 0, so every cap divisor fails). The
+    CPU suite runs this in interpreter mode only; Mosaic tile legality
+    and VMEM fit exist only compiled."""
+    from adversarial_learning_on_pointclouds_tpu import losses as _losses
+    from adversarial_learning_on_pointclouds_tpu.models import (
+        apply_segmenter, init_segmenter,
+    )
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    B, N = 4, 2500
+    x = _inputs(B, N)
+    sp, ss = init_segmenter(jax.random.PRNGKey(4), 50,
+                            feature_transform=True)
+    labels = jax.random.randint(jax.random.PRNGKey(9), (B, N), 0, 50)
+
+    def loss(p, use, train):
+        def inner():
+            logp, _, tf, _ = apply_segmenter(p, ss, x, train=train)
+            out = _losses.nll_loss(logp, labels)
+            return out + (0.001 * _losses.orthogonality_reg(tf)
+                          if train else 0.0)
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    for train in (False, True):
+        ref = float(jax.jit(lambda p: loss(p, False, train))(sp))
+        pal = float(jax.jit(lambda p: loss(p, True, train))(sp))
+        rel = abs(pal - ref) / max(abs(ref), 1e-8)
+        print(f"[{'OK ' if rel <= 1e-3 else 'FAIL'}] N=2500 compiled "
+              f"{'train' if train else 'eval'} loss: rel={rel:.2e}")
+        assert rel <= 1e-3, (train, pal, ref)
+    g = jax.jit(jax.grad(lambda p: loss(p, True, True)))(sp)
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(g))
+    print("[OK ] N=2500 compiled train grads finite")
+
+
 ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
               check_augment_distributions, check_training_grads,
-              check_fc_head_train, check_pool_fc_epilogue, check_timing)
+              check_fc_head_train, check_pool_fc_epilogue,
+              check_ref_npoints, check_timing)
 
 
 def main():

@@ -81,3 +81,8 @@ def test_serving_artifact_executes_on_tpu():
         want = np.asarray(classifier.apply_classifier(
             st.params, st.bn_state, x, train=False)[0])
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_ref_npoints_compiled():
+    from scripts.tpu_kernel_check import check_ref_npoints
+    check_ref_npoints()
