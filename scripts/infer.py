@@ -37,14 +37,17 @@ def _load_clouds(path: str) -> np.ndarray:
 
 
 def _prep(clouds: np.ndarray, num_points: int, seed: int = 0) -> np.ndarray:
-    """Unit-sphere normalize + resample each cloud to ``num_points``."""
+    """Unit-sphere normalize + resample each cloud to ``num_points`` —
+    the training-side eval contract (``augment.normalize_unit_sphere_np``
+    math, reference ``dataset.py::__getitem__`` resample)."""
+    from adversarial_learning_on_pointclouds_tpu.data.augment import (
+        normalize_unit_sphere_np,
+    )
     rng = np.random.default_rng(seed)
     out = np.empty((len(clouds), num_points, 3), np.float32)
     for i, pts in enumerate(clouds):
-        pts = pts - pts.mean(0, keepdims=True)
-        pts = pts / max(float(np.linalg.norm(pts, axis=-1).max()), 1e-12)
         idx = rng.choice(len(pts), num_points, replace=len(pts) < num_points)
-        out[i] = pts[idx]
+        out[i] = normalize_unit_sphere_np(pts)[idx]
     return out
 
 
@@ -116,12 +119,16 @@ def main():
                 params, bn = st.g_params, st.g_bn_state
         import jax
 
+        from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+        paths = None
+        with use_pallas(not a.no_pallas):
+            paths = dispatch.current_paths()
+
         @jax.jit
         def fwd(x):
-            return apply(params, bn, x, train=False)[0]
-
-        ctx = use_pallas(not a.no_pallas)
-        ctx.__enter__()
+            with dispatch.path_context(paths):
+                return apply(params, bn, x, train=False)[0]
 
     clouds = _prep(_load_clouds(a.input), npts)
     preds = []
