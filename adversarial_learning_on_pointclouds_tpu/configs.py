@@ -182,6 +182,19 @@ class AdversarialConfig(SegmentConfig):
                                   #   no numerics change;
                                   #   --no_paired_heads restores the
                                   #   sequential per-stream heads).
+    d_geometry: bool = False      # --d_geometry: EXTENSION beyond the
+                                  #   reference — append the (augmented)
+                                  #   xyz coordinates to the D's input
+                                  #   ([B,N,k+3]). The reference's
+                                  #   pointwise D sees only per-point
+                                  #   class probabilities, so its prior
+                                  #   reduces to marginal shape
+                                  #   (BASELINE.md adversarial-gain
+                                  #   analysis); with coordinates it can
+                                  #   judge label-geometry consistency.
+                                  #   Changes the D architecture (input
+                                  #   width), so checkpoints are not
+                                  #   interchangeable with the default.
     fused_forward: bool = False   # one combined G fwd / D pass over
                                   #   [labeled; unlabeled]. Measured
                                   #   SLOWER on v5e (3.09M vs 3.35M
@@ -371,6 +384,11 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
                         "on v5e, see configs.py)")
+    p.add_argument("--d_geometry", action="store_true",
+                   help="EXTENSION: append xyz coordinates to the "
+                        "discriminator input so it can judge "
+                        "label-geometry consistency (the reference's "
+                        "pointwise D sees probabilities only)")
     a = p.parse_args(argv)
     kw = _common_kwargs(a, 2048, "adv")
     kw.pop("feature_transform")
@@ -386,6 +404,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         # --paired_heads wins if both are passed.
         paired_heads=a.paired_heads or not a.no_paired_heads,
         fused_forward=a.fused_forward,
+        d_geometry=a.d_geometry,
         labeled_ratio=a.labeled_ratio,
         lr_d=a.lr_D,
         semi_start=a.semi_start,

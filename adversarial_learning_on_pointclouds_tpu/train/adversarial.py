@@ -45,8 +45,10 @@ def create_state(cfg: AdversarialConfig, steps_per_epoch: int,
     kg, kd, k_run = jax.random.split(rng, 3)
     g_params, g_bn = init_segmenter(kg, cfg.num_parts, cfg.feature_transform,
                                     dtype=jnp.dtype(cfg.dtype))
-    d_params = init_discriminator(kd, cfg.num_parts,
-                                  dtype=jnp.dtype(cfg.dtype))
+    # --d_geometry widens the D input by the 3 coordinate channels.
+    d_params = init_discriminator(
+        kd, cfg.num_parts + (3 if cfg.d_geometry else 0),
+        dtype=jnp.dtype(cfg.dtype))
     g_tx, d_tx = make_txs(cfg, steps_per_epoch)
     return state_lib.GANTrainState(
         g_params=g_params, g_bn_state=g_bn, g_opt_state=g_tx.init(g_params),
@@ -86,6 +88,19 @@ def _d_frozen(d_params, probs):
         )
         return disc_fused.apply_frozen(d_params, probs)
     return apply_discriminator(d_params, probs)
+
+
+def _d_in(probs, xyz, on: bool):
+    """The D's input map: per-point class probabilities, plus — under the
+    ``--d_geometry`` EXTENSION — the (augmented) xyz coordinates on the
+    channel axis (``[B, N, k+3]``). The reference's pointwise D sees
+    probabilities only, which reduces its prior to per-point marginal
+    shape (BASELINE.md adversarial-gain analysis); coordinates let it
+    judge label-geometry consistency. The coordinates are G-independent
+    inputs, so gradient routing through ``probs`` is unchanged."""
+    if not on:
+        return probs
+    return jnp.concatenate([probs, xyz.astype(probs.dtype)], axis=-1)
 
 
 def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
@@ -134,7 +149,8 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_l, logp_u = logp[:b], logp[b:]
         probs = jnp.exp(logp)  # softmax(G(x)) — logp is log_softmax
         probs_l, probs_u = probs[:b], probs[b:]
-        d_out = _d_frozen(d_params, probs)
+        d_out = _d_frozen(d_params, _d_in(
+            probs, jnp.concatenate([x_l, x_u], axis=0), cfg.d_geometry))
         d_out_l, d_out_u = d_out[:b], d_out[b:]
         reg = (2.0 * losses.orthogonality_reg(tf_b)
                if tf_b is not None else 0.0)
@@ -162,8 +178,8 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         # 512-tile disc kernel at 2B schedule worse than two sequential
         # B-passes; the D-step's own concat is of stop_gradient'ed
         # values, so the buffer is not reused). Receipt in BASELINE.md.
-        d_out_l = _d_frozen(d_params, probs_l)
-        d_out_u = _d_frozen(d_params, probs_u)
+        d_out_l = _d_frozen(d_params, _d_in(probs_l, x_l, cfg.d_geometry))
+        d_out_u = _d_frozen(d_params, _d_in(probs_u, x_u, cfg.d_geometry))
         reg = (losses.orthogonality_reg(tf_l)
                + losses.orthogonality_reg(tf_u))
     else:
@@ -171,8 +187,8 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_u, _, tf_u, bn2 = seg_train(g_params, bn1, x_u)
         probs_l = jnp.exp(logp_l)
         probs_u = jnp.exp(logp_u)
-        d_out_l = _d_frozen(d_params, probs_l)
-        d_out_u = _d_frozen(d_params, probs_u)
+        d_out_l = _d_frozen(d_params, _d_in(probs_l, x_l, cfg.d_geometry))
+        d_out_u = _d_frozen(d_params, _d_in(probs_u, x_u, cfg.d_geometry))
         reg = (losses.orthogonality_reg(tf_l)
                + losses.orthogonality_reg(tf_u))
 
@@ -198,7 +214,7 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
 
 
 def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int,
-               fake_logits=None):
+               fake_logits=None, xyz=None):
     """Discriminator objective on detached G outputs + one-hot GT.
 
     Single D pass over [fake_l ; fake_u ; real] — the pointwise D has no
@@ -210,6 +226,13 @@ def _d_loss_fn(d_params, probs_l, probs_u, y_l, num_parts: int,
     """
     b = probs_l.shape[0]
     real = jax.nn.one_hot(y_l, num_parts, dtype=probs_l.dtype)
+    if xyz is not None:
+        # --d_geometry: same coordinate channels on fakes AND reals (the
+        # labeled stream's coordinates ride the one-hot GT map).
+        xl, xu = xyz
+        probs_l = _d_in(probs_l, xl, True)
+        probs_u = _d_in(probs_u, xu, True)
+        real = _d_in(real, xl, True)
     if fake_logits is not None:
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             disc_fused,
@@ -416,10 +439,12 @@ def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
             # logits; skip the redundant fake forward (see _d_loss_fn).
             fake_logits = jax.lax.stop_gradient(
                 jnp.concatenate([aux["d_l"], aux["d_u"]], axis=0))
+        xyz = ((jax.lax.stop_gradient(x_l), jax.lax.stop_gradient(x_u))
+               if cfg.d_geometry else None)
         (d_loss_v, _), d_grads = jax.value_and_grad(
             _d_loss_fn, has_aux=True)(
                 state.d_params, probs_l, probs_u, y_l, cfg.num_parts,
-                fake_logits)
+                fake_logits, xyz)
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
                                            state.d_params)
         new_d_params = jax.tree_util.tree_map(

@@ -48,6 +48,9 @@ def main():
     p.add_argument("--lambda_adv", type=float, default=0.01)
     p.add_argument("--lambda_adv_unl", type=float, default=None)
     p.add_argument("--threshold", type=float, default=0.2)
+    p.add_argument("--d_geometry", action="store_true",
+                   help="run the adv cells with the geometry-aware D "
+                        "extension (xyz channels on the D input)")
     p.add_argument("--dataset", type=str, default="",
                    help="fixture root ('' = build a dedicated synthetic "
                         "fixture of --num_shapes shapes)")
@@ -95,6 +98,7 @@ def main():
                     lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
                     lambda_adv_unl=a.lambda_adv_unl,
                     semi_threshold=a.threshold,
+                    d_geometry=(mode == "adv" and a.d_geometry),
                     ckpt_policy="none", quiet=True,
                     out_dir=os.path.join(tempfile.gettempdir(),
                                          f"abl_{ratio}_{seed}_{mode}"))
