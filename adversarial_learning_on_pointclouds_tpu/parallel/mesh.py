@@ -13,6 +13,7 @@ with a bigger mesh (DCN riding the same shardings).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -115,10 +116,17 @@ def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh):
 
     xs = jax.device_put(x, point_sharding(mesh, ndim=getattr(x, "ndim", 3)))
     paths = (False, False, dispatch.current_paths()[2])
+    return _point_sharded_fwd(params, state, xs, apply_fn=apply_fn,
+                              paths=paths)
 
-    @jax.jit
-    def fwd(p, s, xx):
-        with dispatch.path_context(paths):
-            return apply_fn(p, s, xx, train=False)[0]
 
-    return fwd(params, state, xs)
+@functools.partial(jax.jit, static_argnames=("apply_fn", "paths"))
+def _point_sharded_fwd(params, state, x, *, apply_fn, paths):
+    # Module-level jit keyed on (apply_fn, paths): repeated
+    # point_sharded_eval calls hit the trace cache instead of recompiling
+    # the full forward per call (a compile costs 30s-15min through the
+    # tunnel — per-call closures would pay it every time).
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    with dispatch.path_context(paths):
+        return apply_fn(params, state, x, train=False)[0]

@@ -149,8 +149,7 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_l, logp_u = logp[:b], logp[b:]
         probs = jnp.exp(logp)  # softmax(G(x)) — logp is log_softmax
         probs_l, probs_u = probs[:b], probs[b:]
-        d_out = _d_frozen(d_params, _d_in(
-            probs, jnp.concatenate([x_l, x_u], axis=0), cfg.d_geometry))
+        d_out = _d_frozen(d_params, _d_in(probs, xb, cfg.d_geometry))
         d_out_l, d_out_u = d_out[:b], d_out[b:]
         reg = (2.0 * losses.orthogonality_reg(tf_b)
                if tf_b is not None else 0.0)

@@ -127,7 +127,7 @@ def main():
                       ("seeds", "ratios", "nepoch", "batchSize",
                        "num_points", "num_shapes", "scan", "semi_start",
                        "lambda_semi", "lambda_adv", "lambda_adv_unl",
-                       "threshold")},
+                       "threshold", "d_geometry")},
            "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)

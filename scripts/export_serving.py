@@ -113,7 +113,11 @@ def main():
                     m.apply_segmenter(params, bn, x, train=False)[0])
         delta = float(np.max(np.abs(got - want)))
         print(f"verify: max |artifact - live| = {delta:.3e}")
-        assert delta < 1e-5, delta
+        # 2e-5: the measured on-chip artifact-vs-live bound
+        # (tests/test_tpu_kernels.py runs the identical comparison);
+        # a real lowering bug shows up orders of magnitude above this.
+        if delta >= 2e-5:
+            raise SystemExit(f"verify FAILED: delta {delta:.3e} >= 2e-5")
 
 
 if __name__ == "__main__":

@@ -46,7 +46,9 @@ def _prep(clouds: np.ndarray, num_points: int, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     out = np.empty((len(clouds), num_points, 3), np.float32)
     for i, pts in enumerate(clouds):
-        idx = rng.choice(len(pts), num_points, replace=len(pts) < num_points)
+        # replace=True unconditionally — the reference's np.random.choice
+        # contract (data/augment.py, native_loader.py do the same).
+        idx = rng.choice(len(pts), num_points, replace=True)
         out[i] = normalize_unit_sphere_np(pts)[idx]
     return out
 
@@ -57,8 +59,9 @@ def main():
                    help=".h5 ([S,N,3] 'data'), .pts (one shape), or .ply")
     p.add_argument("--artifact", type=str, default="",
                    help="serving artifact from export_serving.py")
-    p.add_argument("--kind", choices=("cls", "seg"), default="cls",
-                   help="artifact output kind (cls: [B,k]; seg: [B,N,k])")
+    p.add_argument("--kind", choices=("cls", "seg"), default="",
+                   help="artifact output kind; default: derived from the "
+                        "artifact's output rank (cls: [B,k]; seg: [B,N,k])")
     p.add_argument("--checkpoint", type=str, default="",
                    help="live checkpoint dir (alternative to --artifact)")
     p.add_argument("--model", choices=("cls", "seg", "adv"), default="cls")
@@ -76,12 +79,19 @@ def main():
     if not a.artifact and not a.checkpoint:
         p.error("need --artifact or --checkpoint")
 
+    pinned_b = None
     if a.artifact:
         from adversarial_learning_on_pointclouds_tpu.utils import serving
         exp = serving.load_exported(a.artifact)
         npts = a.num_points or exp.in_avals[0].shape[1]
+        b0 = exp.in_avals[0].shape[0]
+        if isinstance(b0, int):  # pinned-batch artifact: feed exactly b0
+            pinned_b = b0
         fwd = exp.call
-        kind = a.kind
+        # The artifact self-describes its kind: [b, k] logits are the
+        # classifier, [b, N, k] the segmenter.
+        kind = a.kind or ("seg" if len(exp.out_avals[0].shape) == 3
+                          else "cls")
     else:
         from adversarial_learning_on_pointclouds_tpu.configs import (
             AdversarialConfig, ClassifyConfig, SegmentConfig,
@@ -131,10 +141,17 @@ def main():
                 return apply(params, bn, x, train=False)[0]
 
     clouds = _prep(_load_clouds(a.input), npts)
+    step_b = pinned_b or a.batch
     preds = []
-    for s in range(0, len(clouds), a.batch):
-        logp = np.asarray(fwd(clouds[s:s + a.batch]))
-        preds.append(np.argmax(logp, -1))
+    for s in range(0, len(clouds), step_b):
+        chunk = clouds[s:s + step_b]
+        n_real = len(chunk)
+        if pinned_b and n_real < pinned_b:  # pad the ragged tail batch
+            chunk = np.concatenate(
+                [chunk, np.zeros((pinned_b - n_real, npts, 3),
+                                 np.float32)], axis=0)
+        logp = np.asarray(fwd(chunk))
+        preds.append(np.argmax(logp, -1)[:n_real])
     pred = np.concatenate(preds, axis=0)
 
     if kind == "cls":

@@ -150,8 +150,9 @@ def test_infer_cli_artifact_and_checkpoint(tmp_path, monkeypatch, capsys):
     art = tmp_path / "seg.shlo"
     serving.save_exported(exp, str(art))
     ply = tmp_path / "out.ply"
+    # --kind omitted on purpose: derived from the artifact's output rank.
     monkeypatch.setattr("sys.argv", [
-        "infer.py", "--artifact", str(art), "--kind", "seg",
+        "infer.py", "--artifact", str(art),
         "--input", str(pts), "--ply", str(ply)])
     infer.main()
     assert "parts {" in capsys.readouterr().out and ply.exists()
@@ -169,3 +170,26 @@ def test_infer_cli_artifact_and_checkpoint(tmp_path, monkeypatch, capsys):
     infer.main()
     out = capsys.readouterr().out
     assert out.count("class") == 3
+
+
+def test_infer_pinned_batch_pads_ragged_tail(tmp_path, monkeypatch, capsys):
+    # A pinned-batch artifact must still serve inputs whose count is not
+    # a multiple of the pin: the tail batch is zero-padded and trimmed.
+    import h5py
+
+    from scripts import infer
+
+    state = _cls_state()
+    exp = serving.export_classifier(state.params, state.bn_state, N,
+                                    batch=2, platforms=("cpu",))
+    art = tmp_path / "cls_b2.shlo"
+    serving.save_exported(exp, str(art))
+    h5 = tmp_path / "clouds.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("data", data=np.random.default_rng(5)
+                         .standard_normal((3, 80, 3)).astype(np.float32))
+    monkeypatch.setattr("sys.argv", [
+        "infer.py", "--artifact", str(art), "--input", str(h5)])
+    infer.main()
+    out = capsys.readouterr().out
+    assert out.count("class") == 3  # all 3 clouds predicted, pad trimmed
