@@ -193,3 +193,31 @@ def test_infer_pinned_batch_pads_ragged_tail(tmp_path, monkeypatch, capsys):
     infer.main()
     out = capsys.readouterr().out
     assert out.count("class") == 3  # all 3 clouds predicted, pad trimmed
+
+
+def test_export_precision_is_pinned_not_ambient(tmp_path):
+    # Exporting from inside a bf16 mixed-precision scope must still
+    # produce the fp32-HIGHEST artifact (parity mode); bf16 artifacts
+    # are an explicit opt-in and land within bf16 tolerance.
+    from adversarial_learning_on_pointclouds_tpu.models.core import (
+        mixed_precision,
+    )
+
+    state = _cls_state()
+    x = np.random.default_rng(3).standard_normal((2, N, 3)).astype(
+        np.float32)
+    with use_pallas(False):
+        want = np.asarray(classifier.apply_classifier(
+            state.params, state.bn_state, jnp.asarray(x), train=False)[0])
+
+    with mixed_precision():  # ambient bf16 scope, must be ignored
+        exp32 = serving.export_classifier(state.params, state.bn_state, N,
+                                          platforms=("cpu",))
+    np.testing.assert_allclose(np.asarray(exp32.call(x)), want,
+                               rtol=0, atol=1e-6)
+
+    exp16 = serving.export_classifier(state.params, state.bn_state, N,
+                                      platforms=("cpu",), bf16=True)
+    got16 = np.asarray(exp16.call(x))
+    assert not np.allclose(got16, want, rtol=0, atol=1e-6)  # really bf16
+    np.testing.assert_allclose(got16, want, rtol=0, atol=0.15)
