@@ -355,10 +355,47 @@ def check_ref_npoints():
     print("[OK ] N=2500 compiled train grads finite")
 
 
+def check_disc_geometry_width():
+    """Compiled fused-discriminator kernels at the --d_geometry input
+    width (k+3 = 53 channels — a lane count no other path uses; the CPU
+    suite covers it in interpreter mode only)."""
+    from adversarial_learning_on_pointclouds_tpu.models.discriminator import (
+        apply_discriminator, init_discriminator,
+    )
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    B, N, C = 8, 512, 53
+    dp = init_discriminator(jax.random.PRNGKey(0), C)
+    x = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (B, N, C)))
+
+    def loss(p, use):
+        def inner():
+            return jnp.sum(jnp.tanh(apply_discriminator(p, x)))
+        if use:
+            with use_pallas():
+                return inner()
+        return inner()
+
+    ref = float(jax.jit(lambda p: loss(p, False))(dp))
+    pal = float(jax.jit(lambda p: loss(p, True))(dp))
+    rel = abs(pal - ref) / max(abs(ref), 1e-8)
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(dp)
+    g_pal = jax.jit(jax.grad(lambda p: loss(p, True)))(dp)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g_ref))
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                                jax.tree_util.tree_leaves(g_ref)))
+    ok = rel <= 1e-4 and worst <= 1e-3 * (1 + scale)
+    print(f"[{'OK ' if ok else 'FAIL'}] disc kernels at C=53 "
+          f"(--d_geometry): loss rel={rel:.2e} grad worst={worst:.2e}")
+    assert ok, (rel, worst, scale)
+
+
 ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
               check_augment_distributions, check_training_grads,
               check_fc_head_train, check_pool_fc_epilogue,
-              check_ref_npoints, check_timing)
+              check_ref_npoints, check_disc_geometry_width,
+              check_timing)
 
 
 def main():

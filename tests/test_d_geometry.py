@@ -78,3 +78,48 @@ def test_d_geometry_step_trains_every_variant(variant):
 def test_d_in_off_is_identity():
     x = jnp.ones((2, 4, 5))
     assert adversarial._d_in(x, jnp.zeros((2, 4, 3)), False) is x
+
+
+def test_d_geometry_step_trains_under_pallas_dispatch():
+    """The widened D input (C = parts+3 = 9 here, 53 at reference size)
+    must flow through the fused discriminator kernels too — apply_frozen
+    in the G step, known-logits + detached variants in the D step
+    (interpreter mode on CPU; the compiled twin lives in the -m tpu
+    suite)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+
+    cfg = AdversarialConfig(num_parts=P, batch_size=B, num_points=N,
+                            feature_transform=True, d_geometry=True)
+    g_tx, d_tx = adversarial.make_txs(cfg, 2)
+    st = adversarial.create_state(cfg, 2)
+    x_l, y_l, x_u = _batch(2)
+    with use_pallas(True):
+        st, m = adversarial.train_step(st, x_l, y_l, x_u, cfg=cfg,
+                                       g_tx=g_tx, d_tx=d_tx)
+        st, m = adversarial.train_step(st, x_l, y_l, x_u, cfg=cfg,
+                                       g_tx=g_tx, d_tx=d_tx)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_d_geometry_pallas_matches_xla_loss():
+    """Same step, Pallas vs XLA dispatch: the G loss must agree at the
+    fp-reassociation floor with the widened D input."""
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+
+    cfg = AdversarialConfig(num_parts=P, batch_size=B, num_points=N,
+                            feature_transform=False, augment=False,
+                            resample=False, normalize=False,
+                            d_geometry=True)
+    g_tx, d_tx = adversarial.make_txs(cfg, 1)
+    st = adversarial.create_state(cfg, 1)
+    x_l, y_l, x_u = _batch(3)
+    with use_pallas(False):
+        _, m0 = adversarial.train_step(st, x_l, y_l, x_u, cfg=cfg,
+                                       g_tx=g_tx, d_tx=d_tx)
+    with use_pallas(True):
+        _, m1 = adversarial.train_step(st, x_l, y_l, x_u, cfg=cfg,
+                                       g_tx=g_tx, d_tx=d_tx)
+    for k in ("loss_g", "loss_d", "loss_ce"):
+        a, b = float(m0[k]), float(m1[k])
+        assert abs(a - b) <= 2e-4 * (1 + abs(a)), (k, a, b)

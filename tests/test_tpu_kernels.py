@@ -86,3 +86,8 @@ def test_serving_artifact_executes_on_tpu():
 def test_ref_npoints_compiled():
     from scripts.tpu_kernel_check import check_ref_npoints
     check_ref_npoints()
+
+
+def test_disc_geometry_width_compiled():
+    from scripts.tpu_kernel_check import check_disc_geometry_width
+    check_disc_geometry_width()
