@@ -219,7 +219,8 @@ class ShapeNetPart:
 
 def make_synthetic_shapenet(root: str, num_shapes: int = 64,
                             num_points: int = 2048, seed: int = 0,
-                            layout: str = "h5") -> str:
+                            layout: str = "h5",
+                            boundary_jitter: float = 0.0) -> str:
     """Synthetic ShapeNet-part fixtures (h5 layout by default).
 
     GENERALIZABLE by construction, not just overfittable: every category
@@ -251,11 +252,14 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
     norm = np.max(np.linalg.norm(pts, axis=-1, keepdims=True), 1, keepdims=True)
     pts /= np.maximum(norm, 1e-12)
     pids = np.empty((num_shapes, num_points), np.int32)
+    offs = (rng.uniform(-0.5, 0.5, num_shapes).astype(np.float32)
+            * boundary_jitter if boundary_jitter > 0.0
+            else np.zeros(num_shapes, np.float32))
     for i, cat in enumerate(cats):
         start, count = CATEGORY_PART_RANGES[cat]
         axis = int(cat) % 3
-        q = np.clip(((pts[i, :, axis] + 1.0) / 2.0 * count).astype(np.int32),
-                    0, count - 1)
+        u = (pts[i, :, axis] + 1.0) / 2.0 + offs[i] / count
+        q = np.clip((u * count).astype(np.int32), 0, count - 1)
         pids[i] = start + q
     splits = (("train", slice(0, int(0.75 * num_shapes))),
               ("val", slice(int(0.75 * num_shapes), int(0.875 * num_shapes))),

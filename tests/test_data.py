@@ -188,3 +188,35 @@ def test_host_index_iterator_masked_padding():
     for (row, m), (idx, mask) in zip(batches, items):
         np.testing.assert_array_equal(row, x[idx])
         np.testing.assert_array_equal(m, mask)
+
+
+def test_synthetic_shapenet_boundary_jitter(tmp_path):
+    """boundary_jitter=0 is bit-identical to the default fixture;
+    jitter>0 changes labels ONLY (same clouds/categories), and only a
+    minority of points flip (boundary-local)."""
+    import h5py
+
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        make_synthetic_shapenet,
+    )
+
+    r0 = make_synthetic_shapenet(str(tmp_path / "a"), 32, 128)
+    r1 = make_synthetic_shapenet(str(tmp_path / "b"), 32, 128,
+                                 boundary_jitter=0.0)
+    r2 = make_synthetic_shapenet(str(tmp_path / "c"), 32, 128,
+                                 boundary_jitter=1.0)
+
+    def load(root):
+        with h5py.File(os.path.join(root, "ply_data_train0.h5")) as f:
+            return (np.asarray(f["data"]), np.asarray(f["label"]),
+                    np.asarray(f["pid"]))
+
+    d0, l0, p0 = load(r0)
+    d1, l1, p1 = load(r1)
+    d2, l2, p2 = load(r2)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_array_equal(d0, d2)   # same geometry
+    np.testing.assert_array_equal(l0, l2)   # same categories
+    frac = np.mean(p0 != p2)
+    assert 0.0 < frac < 0.5, frac           # boundary-local flips only
