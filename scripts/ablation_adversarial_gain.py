@@ -51,6 +51,18 @@ def main():
     p.add_argument("--d_geometry", action="store_true",
                    help="run the adv cells with the geometry-aware D "
                         "extension (xyz channels on the D input)")
+    p.add_argument("--modes", type=str, nargs="+",
+                   default=["sup", "adv"],
+                   choices=["sup", "adv", "geo"],
+                   help="paired cells per (ratio, seed): sup = "
+                        "--supervised_only control, adv = config-4 "
+                        "adv+semi, geo = adv+semi with --d_geometry")
+    p.add_argument("--boundary_jitter", type=float, default=0.0,
+                   help="per-shape label-boundary jitter for the "
+                        "generated fixture (fraction of a part width; "
+                        "the designed gain regime — the exact boundary "
+                        "is unknowable from one shape while the "
+                        "population p(label|position) stays stable)")
     p.add_argument("--dataset", type=str, default="",
                    help="fixture root ('' = build a dedicated synthetic "
                         "fixture of --num_shapes shapes)")
@@ -58,7 +70,16 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke setting (CI): 1 seed, 2 epochs, "
                         "96 shapes")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend in-process (the "
+                        "JAX_PLATFORMS env var is ignored once the axon "
+                        "plugin loads; this must run before first device "
+                        "use). Use for host-side sweeps while the chip "
+                        "is busy/wedged.")
     a = p.parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if a.quick:
         a.seeds, a.nepoch, a.num_shapes = 1, 2, 96
         a.ratios = [0.5]
@@ -75,20 +96,21 @@ def main():
 
     root = a.dataset
     if not root:
-        # Keyed on shapes AND points — the listdir guard below would
-        # otherwise reuse a fixture generated at a different
-        # points-per-shape count.
-        root = os.path.join(
-            tempfile.gettempdir(),
-            f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}")
+        # Keyed on shapes AND points (and jitter, when set) — the
+        # listdir guard below would otherwise reuse a fixture generated
+        # at different parameters.
+        tag = (f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}"
+               + (f"_bj{a.boundary_jitter:g}" if a.boundary_jitter else ""))
+        root = os.path.join(tempfile.gettempdir(), tag)
         if not (os.path.isdir(root) and os.listdir(root)):
             make_synthetic_shapenet(root, num_shapes=a.num_shapes,
-                                    num_points=a.num_points)
+                                    num_points=a.num_points,
+                                    boundary_jitter=a.boundary_jitter)
 
     runs = []
     for ratio in a.ratios:
         for seed in range(a.seeds):
-            for mode in ("sup", "adv"):
+            for mode in a.modes:
                 cfg = AdversarialConfig(
                     dataset=root, labeled_ratio=ratio, seed=seed,
                     supervised_only=(mode == "sup"),
@@ -98,7 +120,8 @@ def main():
                     lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
                     lambda_adv_unl=a.lambda_adv_unl,
                     semi_threshold=a.threshold,
-                    d_geometry=(mode == "adv" and a.d_geometry),
+                    d_geometry=(mode == "geo"
+                                or (mode == "adv" and a.d_geometry)),
                     ckpt_policy="none", quiet=True,
                     out_dir=os.path.join(tempfile.gettempdir(),
                                          f"abl_{ratio}_{seed}_{mode}"))
@@ -114,31 +137,50 @@ def main():
     summary = {}
     for ratio in a.ratios:
         cell = {}
-        for mode in ("sup", "adv"):
+        for mode in a.modes:
             vals = [r["best_miou"] for r in runs
                     if r["ratio"] == ratio and r["mode"] == mode]
             cell[mode] = {"mean": round(float(np.mean(vals)), 5),
                           "std": round(float(np.std(vals)), 5),
                           "runs": vals}
-        cell["delta"] = round(cell["adv"]["mean"] - cell["sup"]["mean"], 5)
+        # Paired per-seed deltas vs the first mode (the control): the
+        # 3-seed unpaired snapshots manufactured fake deltas twice this
+        # round — paired mean ± SE and the sign pattern are the numbers
+        # the analysis actually needs.
+        base = a.modes[0]
+        for mode in a.modes[1:]:
+            d = [x - y for x, y in zip(cell[mode]["runs"],
+                                       cell[base]["runs"])]
+            cell[f"{mode}-{base}"] = {
+                "paired_mean": round(float(np.mean(d)), 5),
+                "paired_se": round(float(np.std(d) / max(len(d) - 1, 1)
+                                         ** 0.5), 5),
+                "positive_seeds": int(sum(x > 0 for x in d)),
+                "n": len(d)}
         summary[str(ratio)] = cell
 
     out = {"config": {k: getattr(a, k) for k in
                       ("seeds", "ratios", "nepoch", "batchSize",
                        "num_points", "num_shapes", "scan", "semi_start",
                        "lambda_semi", "lambda_adv", "lambda_adv_unl",
-                       "threshold", "d_geometry")},
+                       "threshold", "d_geometry", "modes",
+                       "boundary_jitter")},
            "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {a.json}")
-    print("\n| labeled_ratio | supervised-only mIoU | adv+semi mIoU | delta |")
-    print("|---|---|---|---|")
+    head = " | ".join(f"{m} mIoU" for m in a.modes)
+    print(f"\n| labeled_ratio | {head} | paired deltas |")
+    print("|---" * (len(a.modes) + 2) + "|")
     for ratio in a.ratios:
         c = summary[str(ratio)]
-        print(f"| {ratio} | {c['sup']['mean']:.4f} ± {c['sup']['std']:.4f} "
-              f"| {c['adv']['mean']:.4f} ± {c['adv']['std']:.4f} "
-              f"| {c['delta']:+.4f} |")
+        cols = " | ".join(f"{c[m]['mean']:.4f} ± {c[m]['std']:.4f}"
+                          for m in a.modes)
+        ds = "; ".join(
+            f"{k}: {v['paired_mean']:+.4f} ± {v['paired_se']:.4f} "
+            f"({v['positive_seeds']}/{v['n']}+)"
+            for k, v in c.items() if "-" in k)
+        print(f"| {ratio} | {cols} | {ds} |")
 
 
 if __name__ == "__main__":
