@@ -220,7 +220,9 @@ class ShapeNetPart:
 def make_synthetic_shapenet(root: str, num_shapes: int = 64,
                             num_points: int = 2048, seed: int = 0,
                             layout: str = "h5",
-                            boundary_jitter: float = 0.0) -> str:
+                            boundary_jitter: float = 0.0,
+                            cluster_parts: bool = False,
+                            center_jitter: float = 0.25) -> str:
     """Synthetic ShapeNet-part fixtures (h5 layout by default).
 
     GENERALIZABLE by construction, not just overfittable: every category
@@ -234,10 +236,48 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
     segmenters could only memorize the train shapes (92% train acc,
     ~2% test mIoU measured) — useless for any train-vs-eval comparison,
     e.g. the adversarial-gain ablation.
+
+    ``cluster_parts=True`` switches the LABELING to the
+    cluster-assumption regime of the semi-supervised literature: each
+    shape draws one Gaussian blob per part (category anchor +
+    ``center_jitter`` per-shape offset) and the part label IS blob
+    membership. Part boundaries then lie in density valleys and the
+    position->part map varies per shape (only resolvable from the
+    shape's own cluster structure), so unlabeled clouds genuinely carry
+    the structure the semi/adversarial losses are meant to exploit —
+    unlike the default axis-quantized labels, which cut straight through
+    the blobs, or ``boundary_jitter``, which adds noise no method can
+    recover (the offset is independent of the geometry).
+    ``boundary_jitter`` applies only to the axis-quantized mode.
     """
+    assert not (cluster_parts and boundary_jitter > 0.0), (
+        "boundary_jitter applies to axis-quantized labels only")
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     cats = rng.integers(0, NUM_CATEGORIES, size=num_shapes).astype(np.int32)
+    if cluster_parts:
+        kmax = int(CATEGORY_PART_RANGES[:, 1].max())
+        panchor_rng = np.random.default_rng(54321)
+        panchors = panchor_rng.uniform(
+            -1.0, 1.0, (NUM_CATEGORIES, kmax, 3)).astype(np.float32)
+        pts = np.empty((num_shapes, num_points, 3), np.float32)
+        pids = np.empty((num_shapes, num_points), np.int32)
+        for i, cat in enumerate(cats):
+            start, count = CATEGORY_PART_RANGES[cat]
+            centers = (panchors[cat, :count] + center_jitter
+                       * rng.standard_normal((count, 3)).astype(np.float32))
+            blob_i = rng.integers(0, count, num_points)
+            # σ=0.18 vs ~1.1 typical inter-anchor distance: blobs stay
+            # identifiable from density while overlapping enough that a
+            # position-only rule misassigns boundary points.
+            pts[i] = centers[blob_i] + 0.18 * rng.standard_normal(
+                (num_points, 3)).astype(np.float32)
+            pids[i] = start + blob_i
+        norm = np.max(np.linalg.norm(pts, axis=-1, keepdims=True), 1,
+                      keepdims=True)
+        pts /= np.maximum(norm, 1e-12)
+        return _write_shapenet_fixture(root, layout, pts, cats, pids,
+                                       num_shapes)
     # Per-category blob constellation: K anchors drawn once from a
     # category-seeded stream (shapes of one category share them).
     n_blobs = 4
@@ -261,6 +301,14 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
         u = (pts[i, :, axis] + 1.0) / 2.0 + offs[i] / count
         q = np.clip((u * count).astype(np.int32), 0, count - 1)
         pids[i] = start + q
+    return _write_shapenet_fixture(root, layout, pts, cats, pids,
+                                   num_shapes)
+
+
+def _write_shapenet_fixture(root, layout, pts, cats, pids,
+                            num_shapes) -> str:
+    """Write a generated fixture in the h5 or pts on-disk layout
+    (shared by the axis-quantized and cluster-parts modes)."""
     splits = (("train", slice(0, int(0.75 * num_shapes))),
               ("val", slice(int(0.75 * num_shapes), int(0.875 * num_shapes))),
               ("test", slice(int(0.875 * num_shapes), num_shapes)))

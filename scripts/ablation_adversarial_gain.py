@@ -60,9 +60,15 @@ def main():
     p.add_argument("--boundary_jitter", type=float, default=0.0,
                    help="per-shape label-boundary jitter for the "
                         "generated fixture (fraction of a part width; "
-                        "the designed gain regime — the exact boundary "
-                        "is unknowable from one shape while the "
-                        "population p(label|position) stays stable)")
+                        "irreducible-noise control regime — the offset "
+                        "is independent of the geometry, so no method "
+                        "can recover it)")
+    p.add_argument("--cluster_parts", action="store_true",
+                   help="cluster-assumption fixture: parts ARE "
+                        "per-shape-jittered Gaussian blobs, so part "
+                        "boundaries lie in density valleys and "
+                        "unlabeled clouds carry the structure the "
+                        "semi/adversarial losses exploit")
     p.add_argument("--dataset", type=str, default="",
                    help="fixture root ('' = build a dedicated synthetic "
                         "fixture of --num_shapes shapes)")
@@ -100,12 +106,14 @@ def main():
         # listdir guard below would otherwise reuse a fixture generated
         # at different parameters.
         tag = (f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}"
-               + (f"_bj{a.boundary_jitter:g}" if a.boundary_jitter else ""))
+               + (f"_bj{a.boundary_jitter:g}" if a.boundary_jitter else "")
+               + ("_cl" if a.cluster_parts else ""))
         root = os.path.join(tempfile.gettempdir(), tag)
         if not (os.path.isdir(root) and os.listdir(root)):
             make_synthetic_shapenet(root, num_shapes=a.num_shapes,
                                     num_points=a.num_points,
-                                    boundary_jitter=a.boundary_jitter)
+                                    boundary_jitter=a.boundary_jitter,
+                                    cluster_parts=a.cluster_parts)
 
     runs = []
     for ratio in a.ratios:
@@ -164,7 +172,7 @@ def main():
                        "num_points", "num_shapes", "scan", "semi_start",
                        "lambda_semi", "lambda_adv", "lambda_adv_unl",
                        "threshold", "d_geometry", "modes",
-                       "boundary_jitter")},
+                       "boundary_jitter", "cluster_parts")},
            "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)

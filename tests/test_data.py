@@ -220,3 +220,48 @@ def test_synthetic_shapenet_boundary_jitter(tmp_path):
     np.testing.assert_array_equal(l0, l2)   # same categories
     frac = np.mean(p0 != p2)
     assert 0.0 < frac < 0.5, frac           # boundary-local flips only
+
+
+def test_synthetic_shapenet_cluster_parts(tmp_path):
+    """cluster_parts labels are blob membership: pids stay in the
+    category's range, parts form separated clusters (intra-part spread
+    well below inter-part centroid distance — the cluster-assumption
+    regime), and per-shape center jitter makes the position->part map
+    shape-specific (same-category shapes place part centroids apart)."""
+    import h5py
+
+    from adversarial_learning_on_pointclouds_tpu.data.shapenet_part import (
+        CATEGORY_PART_RANGES, make_synthetic_shapenet,
+    )
+
+    r = make_synthetic_shapenet(str(tmp_path / "cl"), 48, 256,
+                                cluster_parts=True)
+    with h5py.File(os.path.join(r, "ply_data_train0.h5")) as f:
+        d = np.asarray(f["data"])
+        l = np.asarray(f["label"]).ravel()
+        p = np.asarray(f["pid"])
+
+    intra, inter = [], []
+    cents_by_shape = []
+    for i in range(len(d)):
+        start, count = CATEGORY_PART_RANGES[l[i]]
+        assert p[i].min() >= start and p[i].max() < start + count
+        cents = {}
+        for pid in np.unique(p[i]):
+            m = p[i] == pid
+            cents[pid] = d[i][m].mean(0)
+            intra.append(np.linalg.norm(d[i][m] - cents[pid], axis=1).mean())
+        cents_by_shape.append(cents)
+        ks = sorted(cents)
+        inter.extend(np.linalg.norm(cents[a] - cents[b])
+                     for j, a in enumerate(ks) for b in ks[j + 1:])
+    assert np.mean(inter) > 2.5 * np.mean(intra), (np.mean(inter),
+                                                   np.mean(intra))
+
+    bycat = {}
+    for i in range(len(d)):
+        bycat.setdefault(int(l[i]), []).append(i)
+    a, b = next(v for v in bycat.values() if len(v) >= 2)[:2]
+    pid0 = CATEGORY_PART_RANGES[l[a], 0]
+    shift = np.linalg.norm(cents_by_shape[a][pid0] - cents_by_shape[b][pid0])
+    assert shift > 0.02, shift
