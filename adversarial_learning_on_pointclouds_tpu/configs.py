@@ -165,6 +165,17 @@ class AdversarialConfig(SegmentConfig):
                                   #   unlabeled forward / adv / semi / D
                                   #   (the config-3 baseline the
                                   #   adversarial gain is read against)
+    self_training: bool = False   # --self_training: ablation control —
+                                  #   the D-FREE semi-supervised
+                                  #   baseline: same labeled CE + same
+                                  #   unlabeled forward, but the semi
+                                  #   mask comes from the generator's
+                                  #   OWN confidence (max softmax >
+                                  #   --threshold) instead of the
+                                  #   discriminator; no adv term, no D
+                                  #   compute/update. Tests Hung et
+                                  #   al.'s claim that the D's mask
+                                  #   beats a plain confidence mask.
     paired_heads: bool = True     # --paired_heads: batch the T-Net fc
                                   #   head MATMULS across the labeled+
                                   #   unlabeled streams ([2B,1024] rows,
@@ -372,6 +383,12 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                    help="ablation control: CE-only training on the same "
                         "labeled subset (no adv/semi/D) — the baseline "
                         "the adversarial gain is measured against")
+    p.add_argument("--self_training", action="store_true",
+                   help="ablation control: D-free semi-supervised "
+                        "baseline — pseudo-label mask from the "
+                        "generator's own confidence (max softmax > "
+                        "--threshold) instead of the discriminator; "
+                        "no adv term, no D")
     p.add_argument("--paired_heads", action="store_true",
                    help="batch the T-Net fc head matmuls across the "
                         "labeled and unlabeled streams; BN statistics "
@@ -400,6 +417,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         lambda_semi=a.lambda_semi,
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
+        self_training=a.self_training,
         # Default on; --no_paired_heads disables; an explicit
         # --paired_heads wins if both are passed.
         paired_heads=a.paired_heads or not a.no_paired_heads,

@@ -108,3 +108,24 @@ def semi_loss(log_probs: jnp.ndarray, d_logits: jnp.ndarray,
     picked = _pick_class(log_probs, pseudo)
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return -jnp.sum(picked * mask) / denom
+
+
+def self_train_loss(log_probs: jnp.ndarray,
+                    threshold: float) -> jnp.ndarray:
+    """Confidence-masked self-training WITHOUT a discriminator.
+
+    The D-free control for Hung et al.'s central claim (§5.2 of
+    arXiv:1802.07934) that the discriminator's confidence map selects
+    better pseudo-label regions than the generator's own confidence:
+    mask = ``max_k softmax(G(x)) > threshold`` (instead of
+    ``sigmoid(D) > T_semi``), pseudo-labels the argmax, mask and
+    pseudo-labels detached, mean over masked points, 0 on an empty
+    mask — the exact ``semi_loss`` recipe with the mask source swapped.
+    """
+    pseudo = jax.lax.stop_gradient(jnp.argmax(log_probs, axis=-1))
+    conf = jnp.exp(jnp.max(log_probs, axis=-1))  # log_softmax -> max prob
+    mask = jax.lax.stop_gradient(
+        (conf > threshold).astype(log_probs.dtype))
+    picked = _pick_class(log_probs, pseudo)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.sum(picked * mask) / denom

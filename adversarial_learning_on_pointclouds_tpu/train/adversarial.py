@@ -41,6 +41,9 @@ from adversarial_learning_on_pointclouds_tpu.train.classify import FT_REG_WEIGHT
 
 def create_state(cfg: AdversarialConfig, steps_per_epoch: int,
                  rng: Optional[jax.Array] = None) -> state_lib.GANTrainState:
+    assert not (cfg.supervised_only and cfg.self_training), (
+        "--supervised_only and --self_training are mutually exclusive "
+        "ablation controls")
     rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
     kg, kd, k_run = jax.random.split(rng, 3)
     g_params, g_bn = init_segmenter(kg, cfg.num_parts, cfg.feature_transform,
@@ -135,6 +138,11 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
                    logp_l=logp_l)
         return l_ce, aux
 
+    # --self_training skips every D forward but keeps the stream
+    # forwards (and the ortho reg over both transforms) IDENTICAL to
+    # the adversarial path, so the st-vs-adv comparison isolates the
+    # mask source (G confidence vs D confidence) and the adv term.
+    need_d = not cfg.self_training
     b = x_l.shape[0]
     if cfg.fused_forward:
         # One combined G forward+backward and one combined D pass over
@@ -149,8 +157,9 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_l, logp_u = logp[:b], logp[b:]
         probs = jnp.exp(logp)  # softmax(G(x)) — logp is log_softmax
         probs_l, probs_u = probs[:b], probs[b:]
-        d_out = _d_frozen(d_params, _d_in(probs, xb, cfg.d_geometry))
-        d_out_l, d_out_u = d_out[:b], d_out[b:]
+        if need_d:
+            d_out = _d_frozen(d_params, _d_in(probs, xb, cfg.d_geometry))
+            d_out_l, d_out_u = d_out[:b], d_out[b:]
         reg = (2.0 * losses.orthogonality_reg(tf_b)
                if tf_b is not None else 0.0)
     elif cfg.paired_heads:
@@ -177,8 +186,11 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         # 512-tile disc kernel at 2B schedule worse than two sequential
         # B-passes; the D-step's own concat is of stop_gradient'ed
         # values, so the buffer is not reused). Receipt in BASELINE.md.
-        d_out_l = _d_frozen(d_params, _d_in(probs_l, x_l, cfg.d_geometry))
-        d_out_u = _d_frozen(d_params, _d_in(probs_u, x_u, cfg.d_geometry))
+        if need_d:
+            d_out_l = _d_frozen(d_params,
+                                _d_in(probs_l, x_l, cfg.d_geometry))
+            d_out_u = _d_frozen(d_params,
+                                _d_in(probs_u, x_u, cfg.d_geometry))
         reg = (losses.orthogonality_reg(tf_l)
                + losses.orthogonality_reg(tf_u))
     else:
@@ -186,14 +198,24 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
         logp_u, _, tf_u, bn2 = seg_train(g_params, bn1, x_u)
         probs_l = jnp.exp(logp_l)
         probs_u = jnp.exp(logp_u)
-        d_out_l = _d_frozen(d_params, _d_in(probs_l, x_l, cfg.d_geometry))
-        d_out_u = _d_frozen(d_params, _d_in(probs_u, x_u, cfg.d_geometry))
+        if need_d:
+            d_out_l = _d_frozen(d_params,
+                                _d_in(probs_l, x_l, cfg.d_geometry))
+            d_out_u = _d_frozen(d_params,
+                                _d_in(probs_u, x_u, cfg.d_geometry))
         reg = (losses.orthogonality_reg(tf_l)
                + losses.orthogonality_reg(tf_u))
 
     l_ce = losses.nll_loss(logp_l, y_l)
     if cfg.feature_transform:
         l_ce = l_ce + FT_REG_WEIGHT * reg
+    if cfg.self_training:
+        l_semi = losses.self_train_loss(logp_u, cfg.semi_threshold)
+        total = l_ce + semi_on * cfg.lambda_semi * l_semi
+        zero = jnp.zeros((), logp_l.dtype)
+        aux = dict(bn=bn2, l_ce=l_ce, l_adv=zero, l_semi=l_semi,
+                   logp_l=logp_l)
+        return total, aux
     adv_l = losses.adv_g_loss(d_out_l)
     adv_u = losses.adv_g_loss(d_out_u)
     l_adv = 0.5 * (adv_l + adv_u)
@@ -422,8 +444,8 @@ def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
     new_g_params = jax.tree_util.tree_map(
         lambda p, u: p + u, state.g_params, g_updates)
 
-    if cfg.supervised_only:
-        # Ablation baseline: no D update (and no D compute anywhere —
+    if cfg.supervised_only or cfg.self_training:
+        # Ablation controls: no D update (and no D compute anywhere —
         # the G loss above never forwarded it).
         new_d_params, new_d_opt = state.d_params, state.d_opt_state
         d_loss_v = jnp.zeros((), g_loss.dtype)

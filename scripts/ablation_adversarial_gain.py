@@ -53,10 +53,12 @@ def main():
                         "extension (xyz channels on the D input)")
     p.add_argument("--modes", type=str, nargs="+",
                    default=["sup", "adv"],
-                   choices=["sup", "adv", "geo"],
+                   choices=["sup", "adv", "geo", "st"],
                    help="paired cells per (ratio, seed): sup = "
                         "--supervised_only control, adv = config-4 "
-                        "adv+semi, geo = adv+semi with --d_geometry")
+                        "adv+semi, geo = adv+semi with --d_geometry, "
+                        "st = D-free --self_training (pseudo-label "
+                        "mask from G's own confidence)")
     p.add_argument("--boundary_jitter", type=float, default=0.0,
                    help="per-shape label-boundary jitter for the "
                         "generated fixture (fraction of a part width; "
@@ -122,6 +124,7 @@ def main():
                 cfg = AdversarialConfig(
                     dataset=root, labeled_ratio=ratio, seed=seed,
                     supervised_only=(mode == "sup"),
+                    self_training=(mode == "st"),
                     batch_size=a.batchSize, num_points=a.num_points,
                     epochs=a.nepoch, scan=a.scan,
                     semi_start=a.semi_start,
