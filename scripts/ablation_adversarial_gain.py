@@ -48,6 +48,12 @@ def main():
     p.add_argument("--lambda_adv", type=float, default=0.01)
     p.add_argument("--lambda_adv_unl", type=float, default=None)
     p.add_argument("--threshold", type=float, default=0.2)
+    p.add_argument("--st_threshold", type=float, default=None,
+                   help="confidence cut for the 'st' cells only "
+                        "(default: --threshold). The D threshold and "
+                        "the max-softmax confidence live on different "
+                        "scales, so a fair self-training baseline may "
+                        "need its own sweep.")
     p.add_argument("--d_geometry", action="store_true",
                    help="run the adv cells with the geometry-aware D "
                         "extension (xyz channels on the D input)")
@@ -130,7 +136,10 @@ def main():
                     semi_start=a.semi_start,
                     lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
                     lambda_adv_unl=a.lambda_adv_unl,
-                    semi_threshold=a.threshold,
+                    semi_threshold=(a.st_threshold
+                                    if mode == "st"
+                                    and a.st_threshold is not None
+                                    else a.threshold),
                     d_geometry=(mode == "geo"
                                 or (mode == "adv" and a.d_geometry)),
                     ckpt_policy="none", quiet=True,
@@ -174,8 +183,8 @@ def main():
                       ("seeds", "ratios", "nepoch", "batchSize",
                        "num_points", "num_shapes", "scan", "semi_start",
                        "lambda_semi", "lambda_adv", "lambda_adv_unl",
-                       "threshold", "d_geometry", "modes",
-                       "boundary_jitter", "cluster_parts")},
+                       "threshold", "st_threshold", "d_geometry",
+                       "modes", "boundary_jitter", "cluster_parts")},
            "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)
