@@ -17,6 +17,7 @@ import functools
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -111,13 +112,34 @@ def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh):
 
     ``apply_fn(params, state, x, train=False) -> (out, ...)`` — the
     classifier or segmenter apply; returns ``out``.
+
+    Arbitrary N is supported: when the point count does not divide the
+    mesh's data-axis size (e.g. the reference's N=2500 on 8 devices),
+    the cloud is padded by REPEATING its last point up to the next
+    multiple and per-point outputs are trimmed back. Duplicating an
+    existing point is exact for this architecture — every layer is
+    per-point and the pools are max over points, and
+    ``max(S ∪ {s})  ==  max(S)`` for ``s`` already in ``S`` — so the
+    padded forward computes identical values for the real points.
     """
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
 
+    n = x.shape[1]
+    axes = _data_axes(mesh)
+    axes = axes if isinstance(axes, tuple) else (axes,)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    pad = (-n) % n_shards
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:, -1:], (x.shape[0], pad)
+                                 + x.shape[2:])], axis=1)
     xs = jax.device_put(x, point_sharding(mesh, ndim=getattr(x, "ndim", 3)))
     paths = (False, False, dispatch.current_paths()[2])
-    return _point_sharded_fwd(params, state, xs, apply_fn=apply_fn,
-                              paths=paths)
+    out = _point_sharded_fwd(params, state, xs, apply_fn=apply_fn,
+                             paths=paths)
+    if pad and out.ndim >= 2 and out.shape[1] == n + pad:
+        out = out[:, :n]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "paths"))

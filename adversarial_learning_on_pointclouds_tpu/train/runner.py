@@ -171,15 +171,24 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
     return state, step_h
 
 
-def _fused_epoch_setup(cfg, n_test):
+def _fused_epoch_setup(cfg, n_test, spe):
     """Shared ``--fused_epoch`` preflight: validate the data mode and
-    build the fixed whole-test-pass eval plan (``[S, B]`` index rows +
-    host validity mask, ``eval._eval_indices`` protocol)."""
+    epoch plan, and build the fixed whole-test-pass eval plan
+    (``[S, B]`` index rows + host validity mask, ``eval._eval_indices``
+    protocol)."""
     if not cfg.fused_epoch:
         return None, None
     if not cfg.device_data:
         raise ValueError("--fused_epoch needs device-resident pools "
                          "(drop --host_data)")
+    if spe < 1:
+        # The per-step path degrades to zero-step epochs; the fused
+        # program scans a [spe, B] plan and cannot (np.stack of an
+        # empty index list). Fail with the actual cause.
+        raise ValueError(
+            "--fused_epoch needs at least one full train batch per "
+            f"epoch; the train pool is smaller than batch_size="
+            f"{cfg.batch_size} (drop --fused_epoch or shrink the batch)")
     return eval_lib._eval_indices(n_test, cfg.batch_size)
 
 
@@ -223,11 +232,11 @@ def run_classification(cfg: ClassifyConfig,
     if cfg.device_data:
         pool_te = replicate_tree(mesh, x_te)
         pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
-    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te), spe)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy) as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -254,8 +263,7 @@ def run_classification(cfg: ClassifyConfig,
                           cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            if cfg.ckpt_policy != "none":
-                saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -281,11 +289,11 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
     if cfg.device_data:
         pools_te = replicate_tree(mesh, (x_te, s_te, c_te))
         pools = (*replicate_tree(mesh, (x_tr, s_tr)), len(s_tr))
-    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te), spe)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy) as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -312,8 +320,7 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                                  c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            if cfg.ckpt_policy != "none":
-                saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -373,11 +380,11 @@ def run_adversarial(cfg: AdversarialConfig,
         unl_stream = loader.cycling_host_batches((x_unl,), cfg.batch_size,
                                                  seed=cfg.seed + 1)
     table: dict = {}
-    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(s_te), spe)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy) as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -403,8 +410,7 @@ def run_adversarial(cfg: AdversarialConfig,
                     ev_outs, s_te, c_te, te_mask)
                 best = max(best, ev["instance_miou"])
                 t2 = time.perf_counter()
-                if cfg.ckpt_policy != "none":
-                    saver.save(cfg.out_dir, epoch, state)
+                saver.save(cfg.out_dir, epoch, state)
                 t3 = time.perf_counter()
                 logger.log_epoch(epoch, **ev, train_s=t1 - t0,
                                  eval_s=t2 - t1, ckpt_s=t3 - t2)
@@ -460,8 +466,7 @@ def run_adversarial(cfg: AdversarialConfig,
                              c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            if cfg.ckpt_policy != "none":
-                saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
             t3 = time.perf_counter()
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=t3 - t2)
@@ -489,11 +494,11 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
     if cfg.device_data:
         pool_te = replicate_tree(mesh, x_te)
         pools = (*replicate_tree(mesh, (x_tr, y_tr)), len(y_tr))
-    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te))
+    te_idx_np, te_mask = _fused_epoch_setup(cfg, len(y_te), spe)
     with use_pallas(cfg.use_pallas), \
             mixed_precision(enabled=cfg.bf16), \
             maybe_trace(cfg.profile_dir), \
-            checkpoint.AsyncSaver(cfg.ckpt_policy == 'latest') as saver:
+            checkpoint.AsyncSaver(cfg.ckpt_policy) as saver:
         step_h = int(state.step)  # one readback per run, not per launch
         for epoch in range(epochs):
             t0 = time.perf_counter()
@@ -520,8 +525,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                           cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            if cfg.ckpt_policy != "none":
-                saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state)
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()

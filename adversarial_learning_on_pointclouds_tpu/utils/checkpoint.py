@@ -44,19 +44,27 @@ class AsyncSaver:
     drains the queue so the final checkpoint is durable before the run
     returns, and re-raises any writer-thread failure.
 
-    ``skip_to_latest=True`` (the ``--ckpt_policy latest`` keep-up mode)
-    trades completeness for zero backpressure when epochs finish faster
-    than a checkpoint write (~2 s for GAN state): a save that finds the
-    queue full REPLACES the still-queued stale snapshot with the newer
-    one instead of blocking — the writer persists the most recent state
-    it can keep up with; intermediate epochs may be skipped. The FINAL
-    state is always durable either way (``close()`` enqueues behind any
-    pending item and drains before returning). Default False preserves
-    reference semantics: every epoch saved."""
+    ``policy`` is the whole ``--ckpt_policy`` knob in one place (the
+    runners pass the config string straight through, no per-call-site
+    guards):
 
-    def __init__(self, skip_to_latest: bool = False) -> None:
+    - ``"every"`` (default, reference semantics): every epoch saved,
+      ``maxsize=1`` backpressure.
+    - ``"latest"`` (keep-up mode): trades completeness for zero
+      backpressure when epochs finish faster than a checkpoint write
+      (~2 s for GAN state) — a save that finds the queue full REPLACES
+      the still-queued stale snapshot with the newer one instead of
+      blocking; the writer persists the most recent state it can keep
+      up with, intermediate epochs may be skipped. The FINAL state is
+      always durable either way (``close()`` enqueues behind any
+      pending item and drains before returning).
+    - ``"none"`` (sweep mode): ``save()`` is a no-op."""
+
+    def __init__(self, policy: str = "every") -> None:
+        assert policy in ("every", "latest", "none"), policy
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
-        self._skip = skip_to_latest
+        self._skip = policy == "latest"
+        self._off = policy == "none"
         self._err: Optional[BaseException] = None
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
@@ -81,6 +89,8 @@ class AsyncSaver:
                 self._q.task_done()
 
     def save(self, ckpt_dir: str, step: int, state: Any) -> None:
+        if self._off:
+            return
         if self._err is not None:
             err, self._err = self._err, None  # raise once, not forever
             raise err

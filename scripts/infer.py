@@ -83,7 +83,15 @@ def main():
     if a.artifact:
         from adversarial_learning_on_pointclouds_tpu.utils import serving
         exp = serving.load_exported(a.artifact)
-        npts = a.num_points or exp.in_avals[0].shape[1]
+        art_n = exp.in_avals[0].shape[1]
+        if a.num_points and a.num_points != art_n:
+            # The exported program's point count is static; resampling
+            # to a different N would fail deep inside call_exported with
+            # an opaque shape error.
+            p.error(f"--num_points {a.num_points} does not match the "
+                    f"artifact's exported point count {art_n} "
+                    "(drop --num_points, or re-export at the desired N)")
+        npts = art_n
         b0 = exp.in_avals[0].shape[0]
         if isinstance(b0, int):  # pinned-batch artifact: feed exactly b0
             pinned_b = b0

@@ -126,17 +126,22 @@ def exp_heads():
     hb = jnp.concatenate([h1, h2], axis=0)
 
     def seq(p, a, b):
-        o1, _ = tnet._fc_head_apply(p, state, a, True)
-        o2, _ = tnet._fc_head_apply(p, state, b, True)
+        # State chained a -> b like the real sequential path.
+        o1, st1 = tnet._fc_head_apply(p, state, a, True)
+        o2, _ = tnet._fc_head_apply(p, {**state, **st1}, b, True)
         return jnp.sum(o1 ** 2) + jnp.sum(o2 ** 2)
 
     def paired(p, ab):
-        o, _ = tnet._fc_head_apply(p, state, ab, True)
+        # streams=2: the SHIPPED --paired_heads path — batched matmuls
+        # with PER-STREAM grouped-BN statistics (this measurement went
+        # stale when paired heads switched from combined-2B BN to
+        # grouped BN in 8d2d50b; streams=2 restores like-for-like).
+        o, _ = tnet._fc_head_apply(p, state, ab, True, streams=2)
         return jnp.sum(o ** 2)
 
     timeit("2x fc head fwd+bwd sequential [B=32]",
            jax.jit(jax.grad(seq)), params, h1, h2)
-    timeit("1x fc head fwd+bwd batched   [B=64]",
+    timeit("1x fc head fwd+bwd batched grouped-BN [2B=64]",
            jax.jit(jax.grad(paired)), params, hb)
 
 

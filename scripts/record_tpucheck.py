@@ -28,9 +28,29 @@ def main():
     a = p.parse_args()
 
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests", "-m", "tpu", "-q"],
-        cwd=ROOT, capture_output=True, text=True, timeout=a.timeout)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests", "-m", "tpu", "-q"],
+            cwd=ROOT, capture_output=True, text=True, timeout=a.timeout)
+    except subprocess.TimeoutExpired as e:
+        # A wedged tunnel hangs every TPU op for up to hours; the
+        # artifact must RECORD the attempt instead of vanishing in a
+        # stack trace (the whole point of this recorder).
+        dt = time.perf_counter() - t0
+        out = {"suite": "pytest tests -m tpu (compiled-kernel parity on "
+                        "the real chip)",
+               "passed": 0, "failed": 0, "skipped": 0, "deselected": 0,
+               "error": 0, "duration_s": round(dt, 1),
+               "returncode": "timeout",
+               "summary": f"timed out after {a.timeout}s "
+                          "(wedged tunnel?)",
+               "stdout_tail": (e.stdout or b"")[-2000:].decode(
+                   "utf-8", "replace") if isinstance(e.stdout, bytes)
+               else (e.stdout or "")[-2000:]}
+        with open(a.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        sys.exit(2)
     dt = time.perf_counter() - t0
     tail = (proc.stdout.strip().splitlines() or [""])[-1]
 

@@ -35,7 +35,7 @@ def test_async_saver_skip_to_latest_final_durable(tmp_path, monkeypatch):
     written = []
     monkeypatch.setattr(checkpoint, "save", _slow_recording_save(written))
     t0 = time.perf_counter()
-    with checkpoint.AsyncSaver(skip_to_latest=True) as saver:
+    with checkpoint.AsyncSaver(policy="latest") as saver:
         for step in range(20):
             saver.save(str(tmp_path), step, {"w": step})
     elapsed = time.perf_counter() - t0
@@ -56,6 +56,18 @@ def test_async_saver_default_saves_every_epoch(tmp_path, monkeypatch):
         for step in range(10):
             saver.save(str(tmp_path), step, {"w": step})
     assert written == list(range(10))
+
+
+def test_async_saver_none_policy_writes_nothing(tmp_path, monkeypatch):
+    """'none' policy (sweep mode): save() is a no-op — the policy lives
+    entirely in AsyncSaver, not in per-call-site guards."""
+    written = []
+    monkeypatch.setattr(checkpoint, "save",
+                        _slow_recording_save(written, delay=0.0))
+    with checkpoint.AsyncSaver(policy="none") as saver:
+        for step in range(5):
+            saver.save(str(tmp_path), step, {"w": step})
+    assert written == []
 
 
 def test_async_saver_error_raised_once(tmp_path, monkeypatch):

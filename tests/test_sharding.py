@@ -413,6 +413,36 @@ def test_point_sharded_eval_full_models(mesh):
     np.testing.assert_allclose(outc, refc, atol=2e-4)
 
 
+def test_point_sharded_eval_indivisible_n(mesh):
+    """N not divisible by the mesh size (e.g. the reference's 2500 on 8
+    devices) pads by repeating the last point and trims per-point
+    outputs back — exact, because duplicating an existing point cannot
+    change a max-pool. Regression: this used to crash in device_put
+    ('dimension 1 should be divisible by 8')."""
+    from adversarial_learning_on_pointclouds_tpu.models.segmenter import (
+        apply_segmenter,
+    )
+    from adversarial_learning_on_pointclouds_tpu.parallel import (
+        point_sharded_eval,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import segment as _s
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        SegmentConfig,
+    )
+
+    n = 8 * N + 5  # indivisible by 8
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, n, 3)).astype(np.float32)
+    st = _s.create_state(SegmentConfig(num_parts=6, num_points=n,
+                                       feature_transform=True), 1)
+    ref = np.asarray(apply_segmenter(st.params, st.bn_state,
+                                     jnp.asarray(x), train=False)[0])
+    out = np.asarray(point_sharded_eval(apply_segmenter, st.params,
+                                        st.bn_state, x, mesh))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
 def _cls_state_for_point_shard():
     from adversarial_learning_on_pointclouds_tpu.train import classify
     return classify.create_state(
