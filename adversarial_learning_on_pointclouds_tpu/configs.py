@@ -262,6 +262,13 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    choices=("step", "poly"),
                    help="poly = Hung et al.'s (1-step/total)^0.9 decay")
     p.add_argument("--poly_power", type=float, default=0.9)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend in-process (the "
+                        "JAX_PLATFORMS env var is ignored once the TPU "
+                        "plugin registers; this flag applies the config "
+                        "override at parse time, before first device "
+                        "use). Runs the XLA path — Pallas kernels are "
+                        "TPU-only outside interpreter mode.")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable Pallas kernels (pure jnp/XLA path)")
     p.add_argument("--pallas_augment", action="store_true",
@@ -307,6 +314,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str):
+    if a.cpu:
+        # Must land before first device use; parse time is the earliest
+        # shared hook every trainer CLI passes through.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return dict(
         batch_size=a.batchSize,
         num_points=a.num_points if a.num_points is not None else default_points,
@@ -389,12 +401,14 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                         "generator's own confidence (max softmax > "
                         "--threshold) instead of the discriminator; "
                         "no adv term, no D")
-    p.add_argument("--paired_heads", action="store_true",
+    p.add_argument("--paired_heads", dest="paired_heads",
+                   action="store_true", default=True,
                    help="batch the T-Net fc head matmuls across the "
                         "labeled and unlabeled streams; BN statistics "
                         "stay per-stream (grouped BN — exact sequential "
-                        "semantics). DEFAULT ON; kept for symmetry")
-    p.add_argument("--no_paired_heads", action="store_true",
+                        "semantics). DEFAULT ON")
+    p.add_argument("--no_paired_heads", dest="paired_heads",
+                   action="store_false",
                    help="disable the cross-stream-batched T-Net fc heads "
                         "(run the two streams' heads sequentially)")
     p.add_argument("--fused_forward", action="store_true",
@@ -418,9 +432,10 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         semi_threshold=a.threshold,
         supervised_only=a.supervised_only,
         self_training=a.self_training,
-        # Default on; --no_paired_heads disables; an explicit
-        # --paired_heads wins if both are passed.
-        paired_heads=a.paired_heads or not a.no_paired_heads,
+        # Shared dest, default True: --no_paired_heads flips it off and
+        # passing both resolves to whichever came last (argparse
+        # last-wins), so neither flag is dead (ADVICE r3).
+        paired_heads=a.paired_heads,
         fused_forward=a.fused_forward,
         d_geometry=a.d_geometry,
         labeled_ratio=a.labeled_ratio,

@@ -10,11 +10,14 @@ encoder kernels").
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import numpy as np
 
-from adversarial_learning_on_pointclouds_tpu.data.loader import batch_iterator
+from adversarial_learning_on_pointclouds_tpu.data.loader import (
+    batch_iterator, num_batches,
+)
 from adversarial_learning_on_pointclouds_tpu.train import classify, segment
 from adversarial_learning_on_pointclouds_tpu.utils import metrics
 from adversarial_learning_on_pointclouds_tpu.utils.logging import (
@@ -108,6 +111,32 @@ def _host_masks(n: int, batch_size: int):
         yield np.arange(batch_size) < (n - start)
 
 
+def _eval_batches(arrays, batch_size: int):
+    """Eval-order device batches paired with HOST-side validity masks.
+
+    Yields ``(data_batch, mask)`` where ``data_batch`` excludes the
+    iterator's own mask element. The host twin (``_host_masks``) is only
+    valid because this helper FIXES the iteration order — shuffle=False
+    keeps batches in row order and ``host_index_iterator`` pads only the
+    final ragged batch; any change to eval iteration order must go
+    through here (ADVICE r3: the coupling lives in one place, not at
+    every zip site). Set ``POINTTPU_CHECK_EVAL_MASKS=1`` to verify the
+    recomputed masks against the iterator-provided ones (costs one
+    device->host readback per batch; exercised by the test suite)."""
+    n = len(arrays[0])
+    check = bool(os.environ.get("POINTTPU_CHECK_EVAL_MASKS"))
+    count = 0
+    for batch, mask in zip(
+            batch_iterator(arrays, batch_size, shuffle=False,
+                           drop_last=False),
+            _host_masks(n, batch_size)):
+        if check:
+            np.testing.assert_array_equal(np.asarray(batch[-1]), mask)
+        count += 1
+        yield batch[:-1], mask
+    assert count == num_batches(n, batch_size, drop_last=False)
+
+
 def evaluate_classifier(params, bn_state, points: np.ndarray,
                         labels: np.ndarray, batch_size: int = 32,
                         num_classes: int = 40) -> Dict[str, float]:
@@ -117,10 +146,7 @@ def evaluate_classifier(params, bn_state, points: np.ndarray,
     # (expensive through a tunneled chip) overlap the compute instead of
     # serializing it.
     pending = []
-    for batch, mask in zip(
-            batch_iterator((points, labels), batch_size,
-                           shuffle=False, drop_last=False),
-            _host_masks(len(labels), batch_size)):
+    for batch, mask in _eval_batches((points, labels), batch_size):
         pts, lab = batch[0], batch[1]
         out = classify.eval_step(params, bn_state, pts, lab)
         _fetch_async(out)
@@ -147,10 +173,8 @@ def evaluate_segmenter(params, bn_state, points: np.ndarray,
     # Same deferred-readback pipelining as evaluate_classifier: enqueue
     # every batch's forward first, materialize afterwards.
     pending = []
-    for batch, mask in zip(
-            batch_iterator((points, part_labels, categories),
-                           batch_size, shuffle=False, drop_last=False),
-            _host_masks(len(part_labels), batch_size)):
+    for batch, mask in _eval_batches((points, part_labels, categories),
+                                     batch_size):
         pts, lab, cat = batch[0], batch[1], batch[2]
         out = segment.eval_step(params, bn_state, pts, lab, cat)
         _fetch_async(out)

@@ -95,7 +95,8 @@ def point_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh):
+def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh,
+                       per_point: "Optional[bool]" = None):
     """Eval-mode forward with the POINT axis sharded across the mesh —
     single-cloud scaling for N far beyond one chip's HBM/latency budget
     (LiDAR-scale scans; the reference caps at ~2.5k points/cloud).
@@ -121,6 +122,16 @@ def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh):
     per-point and the pools are max over points, and
     ``max(S ∪ {s})  ==  max(S)`` for ``s`` already in ``S`` — so the
     padded forward computes identical values for the real points.
+
+    ``per_point`` says whether ``apply_fn``'s output keeps the point
+    axis at position 1 (segmenter log-probs ``[B, N, k]``: True) or
+    pools it away (classifier logits ``[B, num_classes]``: False) —
+    it decides whether the pad rows are trimmed from the output. When
+    ``None`` it is inferred from the output shape, which is correct
+    for both bundled models but can misfire on exotic apply fns whose
+    non-point axis-1 length coincides with the padded point count
+    (e.g. ``[B, 40]`` logits at ``n + pad == 40``) — pass it
+    explicitly in library code.
     """
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
 
@@ -137,7 +148,9 @@ def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh):
     paths = (False, False, dispatch.current_paths()[2])
     out = _point_sharded_fwd(params, state, xs, apply_fn=apply_fn,
                              paths=paths)
-    if pad and out.ndim >= 2 and out.shape[1] == n + pad:
+    if per_point is None:  # shape inference fallback (see docstring)
+        per_point = out.ndim >= 2 and out.shape[1] == n + pad
+    if pad and per_point:
         out = out[:, :n]
     return out
 

@@ -15,7 +15,7 @@ import os
 import queue
 import sys
 import threading
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
@@ -66,6 +66,11 @@ class AsyncSaver:
         self._skip = policy == "latest"
         self._off = policy == "none"
         self._err: Optional[BaseException] = None
+        # Sticky record: set the first time ANY write fails and never
+        # cleared, so close() re-surfaces the failure even if a caller
+        # caught the save()-time raise and carried on — a run with a
+        # missing checkpoint epoch must not finish reporting success.
+        self.had_error: Optional[BaseException] = None
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
@@ -85,6 +90,8 @@ class AsyncSaver:
                       f"{item[1]} failed: {e!r}", file=sys.stderr,
                       flush=True)
                 self._err = e
+                if self.had_error is None:
+                    self.had_error = e
             finally:
                 self._q.task_done()
 
@@ -120,6 +127,12 @@ class AsyncSaver:
         if self._err is not None:
             err, self._err = self._err, None
             raise err
+        if self.had_error is not None:
+            # Already raised once at a save() call, but the run is about
+            # to finish — surface the gap rather than end silently green.
+            raise RuntimeError(
+                "AsyncSaver: an earlier checkpoint write failed (a saved "
+                "epoch is missing on disk)") from self.had_error
 
     def __enter__(self) -> "AsyncSaver":
         return self
@@ -159,6 +172,35 @@ def restore(ckpt_dir: str, state_like: Any, step: Optional[int] = None) -> Any:
     return jax.tree_util.tree_map(
         lambda like, val: jax.numpy.asarray(val, dtype=like.dtype),
         state_like, restored)
+
+
+def restore_fields(ckpt_dir: str, state_like: Any, fields: Sequence[str],
+                   step: Optional[int] = None) -> Dict[str, Any]:
+    """Restore only the named top-level fields of a NamedTuple train
+    state, returned as ``{field: subtree}``.
+
+    Inference from an adversarial checkpoint needs just the generator
+    subtree (``g_params`` + ``g_bn_state``); restoring through a
+    full-state template would force the DISCRIMINATOR template to match
+    too, which fails for checkpoints trained with options that change
+    D's shapes (e.g. ``--d_geometry``'s wider D input) even though D is
+    irrelevant to inference (ADVICE r3, ``scripts/infer.py``). Orbax
+    stores the NamedTuple as a dict keyed by field name, so the raw
+    (template-free) restore can be sliced per field and cast against
+    the matching ``state_like`` subtree."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    path = os.path.join(_abs(ckpt_dir), str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+    return {
+        name: jax.tree_util.tree_map(
+            lambda like, val: jax.numpy.asarray(val, dtype=like.dtype),
+            getattr(state_like, name), raw[name])
+        for name in fields
+    }
 
 
 def load_params_only(ckpt_dir: str, state_like: Any,

@@ -15,10 +15,45 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = ("import jax, jax.numpy as jnp; jax.devices(); "
+          "assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0")
+
+
+def _wait_for_backend(budget_s: float, verbose: bool) -> None:
+    """Block until the accelerator backend answers a trivial program.
+
+    The tunneled TPU backend can wedge for minutes-to-hours and recover
+    on its own lease expiry (observed rounds 2-4); a bench invoked in
+    that window used to die instantly on backend init (BENCH_r03). Probe
+    in a SUBPROCESS with a hard timeout — a wedged backend HANGS the
+    client rather than erroring, so an in-process attempt could never be
+    retried — and retry within ``budget_s`` before giving up."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(f"bench.py: accelerator backend unavailable after "
+                  f"{attempt} probes over {budget_s:.0f}s — giving up",
+                  file=sys.stderr)
+            sys.exit(1)
+        if verbose:
+            print(f"# backend probe {attempt} failed; retrying in 180s",
+                  file=sys.stderr)
+        time.sleep(min(180.0, max(1.0, deadline - time.monotonic())))
 
 
 def main() -> None:
@@ -39,11 +74,13 @@ def main() -> None:
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G fwd / D pass over [labeled; "
                         "unlabeled] (BN stats over the combined 2B batch)")
-    p.add_argument("--paired_heads", action="store_true",
+    p.add_argument("--paired_heads", dest="paired_heads",
+                   action="store_true", default=True,
                    help="batch the T-Net fc head matmuls across the two "
                         "streams with per-stream grouped-BN statistics "
                         "(exact sequential semantics). DEFAULT ON")
-    p.add_argument("--no_paired_heads", action="store_true",
+    p.add_argument("--no_paired_heads", dest="paired_heads",
+                   action="store_false",
                    help="disable the paired heads (sequential per-stream "
                         "fc heads, the pre-round-3 default)")
     p.add_argument("--pallas_augment", action="store_true",
@@ -54,7 +91,13 @@ def main() -> None:
                         "(amortizes dispatch; the runner's --scan mode; "
                         "0 = one step per launch)")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--backend_wait_s", type=float, default=1800.0,
+                   help="how long to wait for a wedged accelerator "
+                        "backend to recover before failing (0 = no wait)")
     args = p.parse_args()
+
+    if args.backend_wait_s > 0:
+        _wait_for_backend(args.backend_wait_s, args.verbose)
 
     import jax
 
@@ -81,8 +124,7 @@ def main() -> None:
                             feature_transform=True, augment=True,
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
                             remat=args.remat, fused_forward=args.fused_forward,
-                            paired_heads=(args.paired_heads
-                                          or not args.no_paired_heads),
+                            paired_heads=args.paired_heads,
                             pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 

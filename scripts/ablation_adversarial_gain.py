@@ -123,10 +123,46 @@ def main():
                                     boundary_jitter=a.boundary_jitter,
                                     cluster_parts=a.cluster_parts)
 
+    # Crash/wedge resume: every completed cell lands immediately in a
+    # JSON-lines sidecar next to --json; a re-run with the IDENTICAL
+    # sweep config (fingerprint in the header line) skips finished cells
+    # instead of repaying hours of chip time. Each run is individually
+    # deterministic (pinned by the determinism tests), so a resumed
+    # sweep equals an uninterrupted one. The sidecar is deleted once the
+    # final artifact is written.
+    cfg_keys = ("seeds", "ratios", "nepoch", "batchSize", "num_points",
+                "num_shapes", "scan", "semi_start", "lambda_semi",
+                "lambda_adv", "lambda_adv_unl", "threshold",
+                "st_threshold", "d_geometry", "modes", "boundary_jitter",
+                "cluster_parts")
+    cfg_dict = {k: getattr(a, k) for k in cfg_keys}
+    cfg_fp = json.dumps(cfg_dict, sort_keys=True)
+    part_path = a.json + ".partial"
+    done = {}
+    if os.path.exists(part_path):
+        with open(part_path) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        if lines and lines[0].get("config_fp") == cfg_fp:
+            done = {(r["ratio"], r["seed"], r["mode"]): r
+                    for r in lines[1:]}
+            print(f"[ablation] resuming {a.json}: {len(done)} cells "
+                  f"already complete", flush=True)
+        else:
+            print(f"[ablation] stale partial {part_path} (different "
+                  f"sweep config) — starting fresh", flush=True)
+    part = open(part_path, "a" if done else "w")
+    if not done:
+        part.write(json.dumps({"config_fp": cfg_fp}) + "\n")
+        part.flush()
+
     runs = []
     for ratio in a.ratios:
         for seed in range(a.seeds):
             for mode in a.modes:
+                key = (ratio, seed, mode)
+                if key in done:
+                    runs.append(done[key])
+                    continue
                 cfg = AdversarialConfig(
                     dataset=root, labeled_ratio=ratio, seed=seed,
                     supervised_only=(mode == "sup"),
@@ -152,7 +188,10 @@ def main():
                        "best_miou": round(float(res["best_miou"]), 5),
                        "wall_s": round(dt, 1)}
                 runs.append(row)
+                part.write(json.dumps(row) + "\n")
+                part.flush()
                 print(f"[ablation] {row}", flush=True)
+    part.close()
 
     summary = {}
     for ratio in a.ratios:
@@ -179,15 +218,11 @@ def main():
                 "n": len(d)}
         summary[str(ratio)] = cell
 
-    out = {"config": {k: getattr(a, k) for k in
-                      ("seeds", "ratios", "nepoch", "batchSize",
-                       "num_points", "num_shapes", "scan", "semi_start",
-                       "lambda_semi", "lambda_adv", "lambda_adv_unl",
-                       "threshold", "st_threshold", "d_geometry",
-                       "modes", "boundary_jitter", "cluster_parts")},
-           "runs": runs, "summary": summary}
+    out = {"config": cfg_dict, "runs": runs, "summary": summary}
     with open(a.json, "w") as f:
         json.dump(out, f, indent=1)
+    if os.path.exists(part_path):
+        os.remove(part_path)
     print(f"\nwrote {a.json}")
     head = " | ".join(f"{m} mIoU" for m in a.modes)
     print(f"\n| labeled_ratio | {head} | paired deltas |")

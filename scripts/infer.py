@@ -132,9 +132,14 @@ def main():
                 cfg = AdversarialConfig(num_points=npts,
                                         num_parts=a.num_parts,
                                         feature_transform=a.feature_transform)
-                st = checkpoint.restore(a.checkpoint,
-                                        adversarial.create_state(cfg, 1))
-                params, bn = st.g_params, st.g_bn_state
+                # Generator subtree only: a full-state restore would
+                # also force the D template to match, which fails for
+                # --d_geometry checkpoints (wider D input) although
+                # inference never touches D (ADVICE r3).
+                sub = checkpoint.restore_fields(
+                    a.checkpoint, adversarial.create_state(cfg, 1),
+                    ("g_params", "g_bn_state"))
+                params, bn = sub["g_params"], sub["g_bn_state"]
         import jax
 
         from adversarial_learning_on_pointclouds_tpu.ops import dispatch

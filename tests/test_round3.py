@@ -92,7 +92,13 @@ def test_async_saver_error_raised_once(tmp_path, monkeypatch):
     except RuntimeError:
         pass
     saver.save(str(tmp_path), 2, {})  # err cleared: does not raise again
-    saver.close()
+    # ... but the failure is STICKY at close(): a run with a missing
+    # checkpoint epoch must not end reporting success (ADVICE r3).
+    try:
+        saver.close()
+        raise AssertionError("expected close() to surface the sticky error")
+    except RuntimeError as e:
+        assert "earlier checkpoint write failed" in str(e)
 
 
 # ---------------------------------------------------------------------------
@@ -753,15 +759,16 @@ def test_new_flags_parse():
 def test_paired_heads_default_on_with_escape():
     """--paired_heads is the adversarial default since the grouped-BN
     rework made it numerics-exact; --no_paired_heads restores the
-    sequential per-stream heads; an explicit --paired_heads wins when
-    both are passed."""
+    sequential per-stream heads; both flags share one dest so the last
+    one passed wins (ADVICE r3 — the full matrix is pinned in
+    test_round4.test_paired_heads_flag_pair)."""
     from adversarial_learning_on_pointclouds_tpu.configs import (
         adversarial_config_from_args,
     )
     assert adversarial_config_from_args([]).paired_heads
     assert not adversarial_config_from_args(
         ["--no_paired_heads"]).paired_heads
-    assert adversarial_config_from_args(
+    assert not adversarial_config_from_args(
         ["--paired_heads", "--no_paired_heads"]).paired_heads
 
 

@@ -1,0 +1,234 @@
+"""Round-4 fixes (ADVICE r3): explicit per-point trimming in
+``point_sharded_eval``, sticky AsyncSaver failures, eval-mask coupling
+check, generator-only adversarial restore (``--d_geometry``-safe
+inference), and the ``--paired_heads``/``--no_paired_heads`` flag pair.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adversarial_learning_on_pointclouds_tpu import eval as eval_lib
+from adversarial_learning_on_pointclouds_tpu.configs import (
+    AdversarialConfig, adversarial_config_from_args,
+)
+from adversarial_learning_on_pointclouds_tpu.parallel import (
+    make_mesh, point_sharded_eval,
+)
+from adversarial_learning_on_pointclouds_tpu.train import adversarial
+from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+
+B, N = 4, 64
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+# ---------------------------------------------------------------------------
+# point_sharded_eval: explicit per_point beats the shape coincidence
+# ---------------------------------------------------------------------------
+
+def _pooled_40_apply(params, state, x, train=False):
+    # A classifier-like apply whose POOLED output width (40) equals the
+    # padded point count when n=35 is padded to 40 on the 8-device mesh —
+    # exactly the coincidence ADVICE r3 flagged: the old shape heuristic
+    # would trim 5 class logits as if they were pad points.
+    pooled = jnp.max(x, axis=1)  # [B, 3]
+    logits = jnp.concatenate([pooled] * 14, axis=-1)[:, :40]
+    return logits, state
+
+
+def test_point_sharded_eval_explicit_per_point(mesh):
+    n = 35  # pads to 40 on 8 devices -> n + pad == 40 == output width
+    x = np.random.default_rng(0).standard_normal((B, n, 3)).astype(
+        np.float32)
+
+    out = point_sharded_eval(_pooled_40_apply, {}, {}, x, mesh,
+                             per_point=False)
+    assert out.shape == (B, 40)  # class axis intact, NOT trimmed to 35
+
+    # And per_point=True on a genuinely per-point output still trims.
+    def per_point_apply(params, state, x, train=False):
+        return x * 2.0, state
+
+    outp = point_sharded_eval(per_point_apply, {}, {}, x, mesh,
+                              per_point=True)
+    assert outp.shape == (B, n, 3)
+    np.testing.assert_allclose(np.asarray(outp), x * 2.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Eval-order <-> host-mask coupling: the opt-in readback verification
+# ---------------------------------------------------------------------------
+
+def test_eval_mask_coupling_check(monkeypatch):
+    from adversarial_learning_on_pointclouds_tpu.models import (
+        init_classifier,
+    )
+
+    monkeypatch.setenv("POINTTPU_CHECK_EVAL_MASKS", "1")
+    rng = np.random.default_rng(3)
+    n, bs = 21, 8  # ragged tail -> pad+mask on the final batch
+    x = rng.standard_normal((n, N, 3)).astype(np.float32)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    cp, cs = init_classifier(jax.random.PRNGKey(0), 5)
+    res = eval_lib.evaluate_classifier(cp, cs, x, y, bs, 5)
+    assert res["num_examples"] == float(n)
+
+
+# ---------------------------------------------------------------------------
+# Generator-only restore: --d_geometry checkpoints infer without the flag
+# ---------------------------------------------------------------------------
+
+def test_restore_fields_generator_subtree_d_geometry(tmp_path):
+    cfg_geo = AdversarialConfig(num_points=N, num_parts=9, batch_size=B,
+                                feature_transform=True, d_geometry=True)
+    st_geo = adversarial.create_state(cfg_geo, 1)
+    ckpt = str(tmp_path / "adv_geo")
+    checkpoint.save(ckpt, 0, st_geo)
+
+    # Template WITHOUT d_geometry: D input is narrower, so a full-state
+    # restore cannot match — but inference needs only the G subtree.
+    cfg = AdversarialConfig(num_points=N, num_parts=9, batch_size=B,
+                            feature_transform=True)
+    tmpl = adversarial.create_state(cfg, 1)
+    sub = checkpoint.restore_fields(ckpt, tmpl, ("g_params", "g_bn_state"))
+    for a, b in zip(jax.tree_util.tree_leaves(sub["g_params"]),
+                    jax.tree_util.tree_leaves(st_geo.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_infer_cli_adv_d_geometry_checkpoint(tmp_path, monkeypatch, capsys):
+    # The user-facing repro from ADVICE r3: `infer.py --model adv` on a
+    # checkpoint trained with --d_geometry must not fail on the wider D.
+    import h5py
+
+    from scripts import infer
+
+    cfg = AdversarialConfig(num_points=N, num_parts=9, batch_size=B,
+                            feature_transform=True, d_geometry=True)
+    st = adversarial.create_state(cfg, 1)
+    ckpt = tmp_path / "ckpt_adv_geo"
+    checkpoint.save(str(ckpt), 0, st)
+
+    h5 = tmp_path / "clouds.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("data", data=np.random.default_rng(5)
+                         .standard_normal((2, 80, 3)).astype(np.float32))
+    monkeypatch.setattr("sys.argv", [
+        "infer.py", "--checkpoint", str(ckpt), "--model", "adv",
+        "--input", str(h5), "--num_points", str(N), "--num_parts", "9",
+        "--feature_transform", "--no_pallas"])
+    infer.main()
+    out = capsys.readouterr().out
+    assert out.count("parts {") == 2
+
+
+# ---------------------------------------------------------------------------
+# --paired_heads / --no_paired_heads: shared dest, neither flag dead
+# ---------------------------------------------------------------------------
+
+def test_paired_heads_flag_pair():
+    base = ["--dataset", "x"]
+    assert adversarial_config_from_args(base).paired_heads is True
+    assert adversarial_config_from_args(
+        base + ["--paired_heads"]).paired_heads is True
+    assert adversarial_config_from_args(
+        base + ["--no_paired_heads"]).paired_heads is False
+    # Both passed: argparse last-wins (predictable, not silently paired).
+    assert adversarial_config_from_args(
+        base + ["--paired_heads", "--no_paired_heads"]).paired_heads is False
+    assert adversarial_config_from_args(
+        base + ["--no_paired_heads", "--paired_heads"]).paired_heads is True
+
+
+# ---------------------------------------------------------------------------
+# AsyncSaver sticky error is pinned in test_round3 (close() re-raises);
+# here: the success path must NOT trip the sticky check.
+# ---------------------------------------------------------------------------
+
+def test_async_saver_clean_close_no_sticky(tmp_path):
+    with checkpoint.AsyncSaver() as saver:
+        saver.save(str(tmp_path / "ok"), 0, {"w": np.ones(3)})
+    assert checkpoint.latest_step(str(tmp_path / "ok")) == 0
+
+
+# ---------------------------------------------------------------------------
+# Ablation sweep resume: completed cells are never re-run after a crash
+# ---------------------------------------------------------------------------
+
+def test_ablation_sweep_resumes_from_partial(tmp_path, monkeypatch):
+    import json
+
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+    from scripts import ablation_adversarial_gain as abl
+
+    calls = []
+
+    def fake_run(cfg):
+        calls.append((cfg.labeled_ratio, cfg.seed, cfg.supervised_only))
+        if len(calls) == 3 and not getattr(fake_run, "resumed", False):
+            raise KeyboardInterrupt("simulated wedge")  # cell 3 dies
+        return {"best_miou": 0.5 + 0.01 * len(calls)}
+
+    monkeypatch.setattr(runner, "run_adversarial", fake_run)
+    out = str(tmp_path / "abl.json")
+    argv = ["x", "--seeds", "2", "--ratios", "0.5", "--modes", "sup",
+            "adv", "--dataset", "unused", "--json", out]
+    monkeypatch.setattr("sys.argv", argv)
+    with pytest.raises(KeyboardInterrupt):
+        abl.main()
+    assert not (tmp_path / "abl.json").exists()
+    # Two completed cells landed in the sidecar before the crash.
+    part = out + ".partial"
+    with open(part) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    assert len(lines) == 1 + 2  # header + 2 cells
+
+    fake_run.resumed = True
+    calls.clear()
+    monkeypatch.setattr("sys.argv", argv)
+    abl.main()
+    # Only the 2 remaining cells ran; artifact complete, sidecar gone.
+    assert len(calls) == 2
+    with open(out) as f:
+        art = json.load(f)
+    assert len(art["runs"]) == 4
+    assert not (tmp_path / "abl.json.partial").exists()
+
+    # A partial from a DIFFERENT sweep config is ignored, not consumed.
+    with open(part, "w") as f:
+        f.write(json.dumps({"config_fp": "other"}) + "\n")
+    calls.clear()
+    monkeypatch.setattr("sys.argv", argv)
+    abl.main()
+    assert len(calls) == 4  # full sweep re-ran
+
+
+# ---------------------------------------------------------------------------
+# bench.py backend wait: retries a wedged backend, bounded by the budget
+# ---------------------------------------------------------------------------
+
+def test_bench_backend_wait(monkeypatch):
+    import subprocess
+
+    import bench
+
+    # Healthy backend: returns without sleeping.
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: type("R", (), {"returncode": 0})())
+    bench._wait_for_backend(10.0, verbose=False)
+
+    # Wedged backend (probe subprocess hangs -> TimeoutExpired): bounded
+    # retry, then a clean non-zero exit instead of an in-process hang.
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=120)
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    with pytest.raises(SystemExit):
+        bench._wait_for_backend(0.05, verbose=False)

@@ -402,14 +402,16 @@ def test_point_sharded_eval_full_models(mesh):
     ref = np.asarray(apply_segmenter(st.params, st.bn_state,
                                      jnp.asarray(x), train=False)[0])
     out = np.asarray(point_sharded_eval(apply_segmenter, st.params,
-                                        st.bn_state, x, mesh))
+                                        st.bn_state, x, mesh,
+                                        per_point=True))
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
     stc = _cls_state_for_point_shard()
     refc = np.asarray(apply_classifier(stc.params, stc.bn_state,
                                        jnp.asarray(x), train=False)[0])
     outc = np.asarray(point_sharded_eval(apply_classifier, stc.params,
-                                         stc.bn_state, x, mesh))
+                                         stc.bn_state, x, mesh,
+                                         per_point=False))
     np.testing.assert_allclose(outc, refc, atol=2e-4)
 
 
@@ -438,7 +440,8 @@ def test_point_sharded_eval_indivisible_n(mesh):
     ref = np.asarray(apply_segmenter(st.params, st.bn_state,
                                      jnp.asarray(x), train=False)[0])
     out = np.asarray(point_sharded_eval(apply_segmenter, st.params,
-                                        st.bn_state, x, mesh))
+                                        st.bn_state, x, mesh,
+                                        per_point=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
