@@ -193,6 +193,19 @@ class AdversarialConfig(SegmentConfig):
                                   #   no numerics change;
                                   #   --no_paired_heads restores the
                                   #   sequential per-stream heads).
+    paired_trunks: bool = False   # --paired_trunks: additionally batch
+                                  #   the fused CONV TRUNK kernels
+                                  #   across the two streams
+                                  #   (trunk_train.trunk2_train groups=2;
+                                  #   per-stream in-kernel statistics,
+                                  #   pooled outputs bit-identical to
+                                  #   sequential calls). Requires
+                                  #   paired_heads. Default OFF pending
+                                  #   an on-chip measurement — the fat
+                                  #   trunk kernels are not launch-bound
+                                  #   like the fc heads, so the upside is
+                                  #   op-count/scheduling only
+                                  #   (scripts/perf_round4.py bounds it).
     d_geometry: bool = False      # --d_geometry: EXTENSION beyond the
                                   #   reference — append the (augmented)
                                   #   xyz coordinates to the D's input
@@ -411,6 +424,11 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                    action="store_false",
                    help="disable the cross-stream-batched T-Net fc heads "
                         "(run the two streams' heads sequentially)")
+    p.add_argument("--paired_trunks", action="store_true",
+                   help="batch the fused conv-trunk kernels across the "
+                        "two streams too (grouped per-stream BN "
+                        "statistics, bit-identical pooled outputs); "
+                        "requires paired heads")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
@@ -436,6 +454,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         # passing both resolves to whichever came last (argparse
         # last-wins), so neither flag is dead (ADVICE r3).
         paired_heads=a.paired_heads,
+        paired_trunks=a.paired_trunks,
         fused_forward=a.fused_forward,
         d_geometry=a.d_geometry,
         labeled_ratio=a.labeled_ratio,

@@ -103,12 +103,15 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
 
 def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
                              x_a: jnp.ndarray, x_b: jnp.ndarray,
-                             train: bool):
+                             train: bool, paired_trunks: bool = False):
     """Two-stream encoder with the T-Net fc heads batched across streams
     (``tnet.apply_tnet_pair``; adversarial ``--paired_heads``). The conv
     layers and fused trunks stay per-stream — BN batch statistics and
     stash sizes are identical to two sequential calls, state chained
-    a -> b. Returns ``(pf_a, g_a, pf_b, g_b, trans_feat_a, trans_feat_b,
+    a -> b. ``paired_trunks`` (round 4) batches the fused trunk kernels
+    across the streams too (``trunk2_train(groups=2)``, per-stream
+    in-kernel statistics — pooled values bit-identical to sequential).
+    Returns ``(pf_a, g_a, pf_b, g_b, trans_feat_a, trans_feat_b,
     new_state)``."""
     from adversarial_learning_on_pointclouds_tpu.models.tnet import (
         apply_tnet_pair,
@@ -119,7 +122,7 @@ def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
 
     new_state = {}
     t_a, t_b, new_state["stn"] = apply_tnet_pair(
-        params["stn"], state["stn"], x_a, x_b, train)
+        params["stn"], state["stn"], x_a, x_b, train, paired_trunks)
     x_a = ops.batched_transform(x_a, t_a)
     x_b = ops.batched_transform(x_b, t_b)
     x_a, bn1_a = ops.linear_bn_act(
@@ -130,18 +133,31 @@ def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
     tf_a = tf_b = None
     if "fstn" in params:
         tf_a, tf_b, new_state["fstn"] = apply_tnet_pair(
-            params["fstn"], state["fstn"], x_a, x_b, train)
+            params["fstn"], state["fstn"], x_a, x_b, train, paired_trunks)
         x_a = ops.batched_transform(x_a, tf_a)
         x_b = ops.batched_transform(x_b, tf_b)
+
+    trunk_args = (
+        params["conv2"]["w"], params["conv2"]["b"],
+        params["bn2"]["scale"], params["bn2"]["bias"],
+        params["conv3"]["w"], params["conv3"]["b"],
+        params["bn3"]["scale"], params["bn3"]["bias"])
+
+    if paired_trunks and train and ops.pallas_enabled():
+        b = x_a.shape[0]
+        g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+            jnp.concatenate([x_a, x_b], axis=0), *trunk_args, groups=2)
+        g_a, g_b = g[:b], g[b:]
+        bn2 = _ema_stats(state["bn2"], mu2[0], v2[0], x_a)
+        new_state["bn2"] = _ema_stats(bn2, mu2[1], v2[1], x_b)
+        bn3 = _ema_stats(state["bn3"], mu3[0], v3[0], x_a)
+        new_state["bn3"] = _ema_stats(bn3, mu3[1], v3[1], x_b)
+        return x_a, g_a, x_b, g_b, tf_a, tf_b, new_state
 
     def trunk(pf, s_bn2, s_bn3):
         if train and ops.pallas_enabled():
             g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
-                pf,
-                params["conv2"]["w"], params["conv2"]["b"],
-                params["bn2"]["scale"], params["bn2"]["bias"],
-                params["conv3"]["w"], params["conv3"]["b"],
-                params["bn3"]["scale"], params["bn3"]["bias"])
+                pf, *trunk_args)
             return (g, _ema_stats(s_bn2, mu2, v2, pf),
                     _ema_stats(s_bn3, mu3, v3, pf))
         h, bn2 = ops.linear_bn_act(params["conv2"], params["bn2"], s_bn2,

@@ -51,6 +51,7 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
 
 def apply_tnet_pair(params: core.Params, state: core.BnState,
                     x_a: jnp.ndarray, x_b: jnp.ndarray, train: bool,
+                    paired_trunks: bool = False,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, core.BnState]:
     """Two same-shape streams with the fc head matmuls BATCHED across
     them — per-stream BN statistics (reference semantics preserved).
@@ -67,18 +68,31 @@ def apply_tnet_pair(params: core.Params, state: core.BnState,
     kernel) — the exact statistics of two sequential calls, so unlike
     ``--fused_forward`` there is no training-semantics departure, and
     unlike it the [B, N, C] trunk stashes are not doubled (which is what
-    made that mode lose)."""
-    h_a, st_a = _pooled_trunk(params, state, x_a, train)
-    mid = dict(state)
-    mid.update(st_a)
-    h_b, st_b = _pooled_trunk(params, mid, x_b, train)
-    out, fc_state = _fc_head_apply(params, mid, jnp.concatenate(
-        [h_a, h_b], axis=0), train, streams=2)
+    made that mode lose).
+
+    ``paired_trunks`` (round 4) additionally batches the conv TRUNK
+    across the streams — one ``trunk2_train(groups=2)`` call on the
+    stacked ``[2B, N, 64]`` batch with PER-STREAM in-kernel statistics
+    (bit-identical pooled outputs to two sequential calls; see
+    ``trunk_train``). conv1 and its per-point BN stay per-stream."""
+    if paired_trunks and train and ops.pallas_enabled():
+        h, conv_state = _pooled_trunk_grouped(params, state, x_a, x_b)
+        mid = dict(state)
+        mid.update(conv_state)
+        st_ab = conv_state
+    else:
+        h_a, st_a = _pooled_trunk(params, state, x_a, train)
+        mid = dict(state)
+        mid.update(st_a)
+        h_b, st_b = _pooled_trunk(params, mid, x_b, train)
+        h = jnp.concatenate([h_a, h_b], axis=0)
+        st_ab = {**st_a, **st_b}
+    out, fc_state = _fc_head_apply(params, mid, h, train, streams=2)
     k = x_a.shape[-1]
     iden = jnp.eye(k, dtype=out.dtype).reshape(-1)
     trans = (out + iden).reshape(-1, k, k)
     b = x_a.shape[0]
-    return trans[:b], trans[b:], {**st_a, **st_b, **fc_state}
+    return trans[:b], trans[b:], {**st_ab, **fc_state}
 
 
 def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
@@ -133,6 +147,46 @@ def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
                 params[f"conv{i}"], params[f"bn{i}"], state[f"bn{i}"], h,
                 train=train, act="relu")
         h = ops.max_points(h)  # [B, 1024] symmetric pool
+    return h, new_state
+
+
+def _pooled_trunk_grouped(params: core.Params, state: core.BnState,
+                          x_a: jnp.ndarray, x_b: jnp.ndarray,
+                          ) -> Tuple[jnp.ndarray, core.BnState]:
+    """Train-mode ``_pooled_trunk`` for TWO streams with the fused trunk
+    batched across them (``trunk2_train(groups=2)``): one kernel chain
+    on the stacked ``[2B, N, 64]`` batch, per-stream in-kernel BN
+    statistics (bit-identical pooled values to two sequential calls),
+    EMA chained a -> b. conv1 + its per-point BN stay per-stream (the
+    reference's BN1 statistics are per-stream, and the conv1 matmul is
+    bandwidth-bound — nothing to batch away). Returns the stacked
+    pooled features ``[2B, 1024]``."""
+    from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+        _ema_stats,
+    )
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        trunk_train,
+    )
+
+    new_state = {}
+    h1_a, bn1_a = ops.linear_bn_act(
+        params["conv1"], params["bn1"], state["bn1"], x_a,
+        train=True, act="relu")
+    h1_b, new_state["bn1"] = ops.linear_bn_act(
+        params["conv1"], params["bn1"], bn1_a, x_b,
+        train=True, act="relu")
+    h1 = jnp.concatenate([h1_a, h1_b], axis=0)
+    g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+        h1,
+        params["conv2"]["w"], params["conv2"]["b"],
+        params["bn2"]["scale"], params["bn2"]["bias"],
+        params["conv3"]["w"], params["conv3"]["b"],
+        params["bn3"]["scale"], params["bn3"]["bias"], groups=2)
+    h = jnp.maximum(g, 0)
+    bn2 = _ema_stats(state["bn2"], mu2[0], v2[0], h1_a)
+    new_state["bn2"] = _ema_stats(bn2, mu2[1], v2[1], h1_b)
+    bn3 = _ema_stats(state["bn3"], mu3[0], v3[0], h1_a)
+    new_state["bn3"] = _ema_stats(bn3, mu3[1], v3[1], h1_b)
     return h, new_state
 
 

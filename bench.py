@@ -83,6 +83,10 @@ def main() -> None:
                    action="store_false",
                    help="disable the paired heads (sequential per-stream "
                         "fc heads, the pre-round-3 default)")
+    p.add_argument("--paired_trunks", action="store_true",
+                   help="also batch the fused conv-trunk kernels across "
+                        "the two streams (grouped per-stream BN stats; "
+                        "round-4 candidate, measure before defaulting)")
     p.add_argument("--pallas_augment", action="store_true",
                    help="fused Pallas augmentation pass inside the step "
                         "(on-core PRNG) instead of the jnp chain")
@@ -125,6 +129,7 @@ def main() -> None:
                             use_pallas=not args.no_pallas, bf16=not args.fp32,
                             remat=args.remat, fused_forward=args.fused_forward,
                             paired_heads=args.paired_heads,
+                            paired_trunks=args.paired_trunks,
                             pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 

@@ -183,6 +183,53 @@ def check_training_grads():
     assert worst <= 2e-2 * (1 + scale), (worst, scale)
 
 
+def check_trunk_grouped():
+    """Compiled groups=2 fused trunk (``--paired_trunks``) vs two
+    sequential compiled calls: pooled outputs and per-group statistics
+    must match exactly (same per-cloud tiling — the grouped kernel only
+    re-routes the stat accumulators), gradients at the fp-reassociation
+    floor (the weight reduction order differs: one 2m-row matmul vs a
+    sum of two m-row matmuls)."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        trunk_train,
+    )
+    B, N, C = 8, 1024, 64
+    k = jax.random.split(jax.random.PRNGKey(7), 10)
+    xa = jax.random.normal(k[0], (B, N, C), jnp.float32)
+    xb = jax.random.normal(k[1], (B, N, C), jnp.float32)
+    args = (jax.random.normal(k[2], (C, 128)) / 8,
+            0.1 * jax.random.normal(k[3], (128,)),
+            1 + 0.1 * jax.random.normal(k[4], (128,)),
+            0.1 * jax.random.normal(k[5], (128,)),
+            jax.random.normal(k[6], (128, 1024)) / 11,
+            0.1 * jax.random.normal(k[7], (1024,)),
+            1 + 0.1 * jax.random.normal(k[8], (1024,)),
+            0.1 * jax.random.normal(k[9], (1024,)))
+
+    seq = jax.jit(lambda x, *a: trunk_train.trunk2_train(x, *a))
+    grp = jax.jit(lambda x, *a: trunk_train.trunk2_train(x, *a, groups=2))
+    ga, mu2a, _, _, _ = seq(xa, *args)
+    gb, mu2b, _, _, _ = seq(xb, *args)
+    gg, mu2g, _, _, _ = grp(jnp.concatenate([xa, xb]), *args)
+    d_pool = float(jnp.max(jnp.abs(gg - jnp.concatenate([ga, gb]))))
+    d_mu = float(jnp.max(jnp.abs(mu2g - jnp.stack([mu2a, mu2b]))))
+
+    gs = jax.jit(jax.grad(lambda a: jnp.sum(seq(xa, *a)[0] ** 2)
+                          + jnp.sum(seq(xb, *a)[0] ** 2)))(args)
+    gp = jax.jit(jax.grad(lambda a: jnp.sum(
+        grp(jnp.concatenate([xa, xb]), *a)[0] ** 2)))(args)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(gs))
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(gp),
+                                jax.tree_util.tree_leaves(gs)))
+    ok = d_pool == 0.0 and d_mu == 0.0 and worst <= 1e-4 * (1 + scale)
+    print(f"[{'OK ' if ok else 'FAIL'}] grouped trunk compiled: "
+          f"pool delta={d_pool:.1e} mu delta={d_mu:.1e} "
+          f"grad worst={worst:.2e} (scale {scale:.2e})")
+    assert ok, (d_pool, d_mu, worst, scale)
+
+
 def check_timing():
     """Timing sanity: fused eval vs XLA eval (informational, no assert
     beyond 'pallas not catastrophically slower')."""
@@ -394,8 +441,8 @@ def check_disc_geometry_width():
 ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
               check_augment_distributions, check_training_grads,
               check_fc_head_train, check_pool_fc_epilogue,
-              check_ref_npoints, check_disc_geometry_width,
-              check_timing)
+              check_trunk_grouped, check_ref_npoints,
+              check_disc_geometry_width, check_timing)
 
 
 def main():

@@ -210,6 +210,112 @@ def test_ablation_sweep_resumes_from_partial(tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Grouped fused trunk (--paired_trunks): per-stream stats, bitwise pools
+# ---------------------------------------------------------------------------
+
+def _trunk_args(seed=0):
+    rng = np.random.default_rng(seed)
+    C = 64
+    return tuple(jnp.asarray(a.astype(np.float32)) for a in (
+        rng.standard_normal((C, 128)) / 8,
+        0.1 * rng.standard_normal(128),
+        1 + 0.1 * rng.standard_normal(128),
+        0.1 * rng.standard_normal(128),
+        rng.standard_normal((128, 256)) / 11,
+        0.1 * rng.standard_normal(256),
+        1 + 0.1 * rng.standard_normal(256),
+        0.1 * rng.standard_normal(256)))
+
+
+def test_trunk2_grouped_matches_sequential():
+    """trunk2_train(groups=2) == two sequential calls: pooled outputs,
+    per-group statistics and dx BITWISE (identical per-cloud tiling —
+    grouping only re-routes the stat accumulators); weight grads at the
+    global-scale fp floor (one 2m-row reduction vs a sum of two m-row
+    reductions; near-zero BN-absorbed bias leaves are pure fp noise)."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+        trunk_train as tt,
+    )
+
+    rng = np.random.default_rng(0)
+    Bt, Nt, C = 4, 128, 64
+    xa = jnp.asarray(rng.standard_normal((Bt, Nt, C)).astype(np.float32))
+    xb = jnp.asarray(rng.standard_normal((Bt, Nt, C)).astype(np.float32))
+    args = _trunk_args()
+
+    ga, mu2a, v2a, mu3a, v3a = tt.trunk2_train(xa, *args)
+    gb, mu2b, v2b, mu3b, v3b = tt.trunk2_train(xb, *args)
+    gg, mu2g, v2g, mu3g, v3g = tt.trunk2_train(
+        jnp.concatenate([xa, xb]), *args, groups=2)
+    np.testing.assert_array_equal(np.asarray(gg),
+                                  np.asarray(jnp.concatenate([ga, gb])))
+    np.testing.assert_array_equal(np.asarray(mu2g),
+                                  np.asarray(jnp.stack([mu2a, mu2b])))
+    np.testing.assert_array_equal(np.asarray(v3g),
+                                  np.asarray(jnp.stack([v3a, v3b])))
+
+    def loss_seq(a):
+        return (jnp.sum(tt.trunk2_train(xa, *a)[0] ** 2)
+                + jnp.sum(tt.trunk2_train(xb, *a)[0] ** 2))
+
+    def loss_grp(a):
+        return jnp.sum(tt.trunk2_train(jnp.concatenate([xa, xb]), *a,
+                                       groups=2)[0] ** 2)
+
+    gs = jax.grad(loss_seq)(args)
+    gp = jax.grad(loss_grp)(args)
+    scale = max(float(jnp.max(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(gs))
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gp)):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * (1 + scale)
+
+    # dx is bitwise per stream.
+    dxs = jax.grad(lambda x: jnp.sum(
+        tt.trunk2_train(x, *args)[0] ** 2))(xa)
+    dxg = jax.grad(lambda x: jnp.sum(
+        tt.trunk2_train(x, *args, groups=2)[0] ** 2))(
+        jnp.concatenate([xa, xb]))
+    np.testing.assert_array_equal(np.asarray(dxg[:Bt]), np.asarray(dxs))
+
+
+def test_paired_trunks_step_matches_paired_heads():
+    """Full jitted G+D step with --paired_trunks: finite metrics, params
+    update, and the G loss matches the paired-heads-only step (the
+    grouped trunk is bit-identical in values; any residual delta is jit
+    scheduling noise)."""
+    from adversarial_learning_on_pointclouds_tpu.train import adversarial
+
+    rng = np.random.default_rng(11)
+    x_l = jnp.asarray(rng.standard_normal((B, 2 * N, 3)).astype(np.float32))
+    y_l = jnp.asarray(rng.integers(0, 50, (B, 2 * N)).astype(np.int32))
+    x_u = jnp.asarray(rng.standard_normal((B, 2 * N, 3)).astype(np.float32))
+
+    cfg = AdversarialConfig(num_parts=50, batch_size=B, num_points=2 * N,
+                            feature_transform=True, paired_heads=True,
+                            paired_trunks=True)
+    g_tx, d_tx = adversarial.make_txs(cfg, 1)
+    state = adversarial.create_state(cfg, 1)
+    new_state, m = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg,
+                                          g_tx=g_tx, d_tx=d_tx)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.g_params),
+                        jax.tree_util.tree_leaves(new_state.g_params)))
+    assert changed
+
+    cfg_ph = AdversarialConfig(num_parts=50, batch_size=B,
+                               num_points=2 * N, feature_transform=True,
+                               paired_heads=True, paired_trunks=False)
+    _, m_ph = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg_ph,
+                                     g_tx=g_tx, d_tx=d_tx)
+    assert float(m["loss_g"]) == pytest.approx(float(m_ph["loss_g"]),
+                                               rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # bench.py backend wait: retries a wedged backend, bounded by the budget
 # ---------------------------------------------------------------------------
 

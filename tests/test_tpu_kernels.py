@@ -48,6 +48,15 @@ def test_pool_fc_epilogue_compiled():
     check_pool_fc_epilogue()
 
 
+def test_trunk_grouped_compiled():
+    """groups=2 fused trunk (--paired_trunks): the per-group stat
+    accumulators use i//bpg block index maps — a revisit pattern only
+    hardware Mosaic validates (interpreter mode accepts more than the
+    compiler does)."""
+    from scripts.tpu_kernel_check import check_trunk_grouped
+    check_trunk_grouped()
+
+
 def test_fused_eval_timing_sane():
     from scripts.tpu_kernel_check import check_timing
     check_timing()
