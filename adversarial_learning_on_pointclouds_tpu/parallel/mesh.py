@@ -155,6 +155,46 @@ def point_sharded_eval(apply_fn, params, state, x, mesh: Mesh,
     return out
 
 
+def point_sharded_train_step(state, x, y, mesh: Mesh, *, cfg, tx):
+    """ONE segmentation training step with the POINT axis sharded over
+    the mesh — giant-cloud TRAINING, the train-mode twin of
+    ``point_sharded_eval`` (round 4; SURVEY.md §5 long-context note).
+
+    Parameters/optimizer state are replicated; ``x [B, N, 3]`` and the
+    per-point labels ``y [B, N]`` are sharded along N. Everything in the
+    step is per-point except three reductions, all of which GSPMD lowers
+    to per-shard partials + one small ICI collective from the sharding
+    annotations alone: the BN batch statistics (mean/var over B·N), the
+    symmetric max-pools, and the NLL loss mean — gradients come out
+    replicated, so the optimizer update needs no extra communication.
+    Forces the XLA path (GSPMD cannot partition a ``pallas_call``; the
+    fused trunk is a single-device optimization).
+
+    Unlike eval, arbitrary N is NOT padded here: a duplicated pad point
+    is invisible to a max-pool but would bias the BN batch statistics
+    and the per-point loss, so ``N`` must divide the mesh's data-axis
+    size. Returns ``(new_state, metrics)`` exactly like
+    ``segment.train_step``."""
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+    from adversarial_learning_on_pointclouds_tpu.train import segment
+
+    n = x.shape[1]
+    axes = _data_axes(mesh)
+    axes = axes if isinstance(axes, tuple) else (axes,)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    if n % n_shards:
+        raise ValueError(
+            f"point_sharded_train_step: N={n} must divide the mesh's "
+            f"{n_shards} data shards (padding would bias BN statistics "
+            f"and the per-point loss; resample to a multiple instead)")
+    xs = jax.device_put(x, point_sharding(mesh, ndim=3))
+    ys = jax.device_put(y, point_sharding(mesh, ndim=2))
+    state_r = replicate_tree(mesh, state)
+    paths = (False, False, dispatch.current_paths()[2])
+    return segment._train_step(state_r, xs, ys, cfg=cfg, tx=tx,
+                               paths=paths)
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "paths"))
 def _point_sharded_fwd(params, state, x, *, apply_fn, paths):
     # Module-level jit keyed on (apply_fn, paths): repeated

@@ -210,6 +210,63 @@ def test_ablation_sweep_resumes_from_partial(tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Point-sharded TRAINING (giant-cloud train step over the mesh)
+# ---------------------------------------------------------------------------
+
+def test_point_sharded_train_step_matches_replicated(mesh):
+    """One segmenter train step with the POINT axis sharded over 8
+    devices == the single-device step: loss tight, BN running stats at
+    the fp reduction floor (post-Adam params are NOT compared — step-1
+    normalization amplifies near-zero-grad noise to ±lr)."""
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        SegmentConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.parallel import (
+        point_sharded_train_step,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import segment
+
+    # Batch 8, not 2: the fc-head BNs reduce over the batch axis, and
+    # 2-sample batch statistics amplify fp reduction-order noise hugely
+    # (measured: rel 5.6e-4 at B=2 vs 3.6e-7 at B=8 — CLAUDE.md
+    # numerics note; the 1e-5 bound below is ~28x the B=8 floor).
+    n = 8 * N
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, n, 3)).astype(np.float32)
+    y = rng.integers(0, 6, (8, n)).astype(np.int32)
+    cfg = SegmentConfig(num_parts=6, num_points=n, batch_size=8,
+                        feature_transform=True, augment=False)
+    tx = segment.make_tx(cfg, 1)
+    state = segment.create_state(cfg, 1)
+
+    # Reference on the SAME forced-XLA path the sharded step uses (the
+    # fused-kernel path differs at fp-reassociation level, which the
+    # batch-2 head BNs amplify — CLAUDE.md numerics note); remaining
+    # delta is GSPMD partial-reduction order only.
+    from adversarial_learning_on_pointclouds_tpu.ops import dispatch
+
+    paths = (False, False, dispatch.current_paths()[2])
+    ref_state, ref_m = segment._train_step(
+        state, jnp.asarray(x), jnp.asarray(y), cfg=cfg, tx=tx,
+        paths=paths)
+    sh_state, sh_m = point_sharded_train_step(
+        state, x, y, mesh, cfg=cfg, tx=tx)
+    assert float(sh_m["loss"]) == pytest.approx(float(ref_m["loss"]),
+                                                rel=1e-5)
+    # BN running stats see the same batch statistics up to the GSPMD
+    # partial-reduction order.
+    for a, b in zip(jax.tree_util.tree_leaves(sh_state.bn_state),
+                    jax.tree_util.tree_leaves(ref_state.bn_state)):
+        scale = 1.0 + float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * scale
+
+    # Indivisible N is rejected loudly (padding would bias BN stats).
+    with pytest.raises(ValueError):
+        point_sharded_train_step(state, x[:, :n - 3], y[:, :n - 3],
+                                 mesh, cfg=cfg, tx=tx)
+
+
+# ---------------------------------------------------------------------------
 # Grouped fused trunk (--paired_trunks): per-stream stats, bitwise pools
 # ---------------------------------------------------------------------------
 
