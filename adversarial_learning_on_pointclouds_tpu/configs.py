@@ -439,6 +439,12 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                         "label-geometry consistency (the reference's "
                         "pointwise D sees probabilities only)")
     a = p.parse_args(argv)
+    if a.paired_trunks and (not a.paired_heads or a.fused_forward):
+        # The grouped trunk only exists on the paired two-stream path;
+        # silently measuring the sequential path under this flag would
+        # produce a WRONG perf receipt (review r4 finding).
+        p.error("--paired_trunks requires the paired-heads path "
+                "(drop --no_paired_heads / --fused_forward)")
     kw = _common_kwargs(a, 2048, "adv")
     kw.pop("feature_transform")
     return AdversarialConfig(

@@ -120,11 +120,12 @@ def _eval_batches(arrays, batch_size: int):
     keeps batches in row order and ``host_index_iterator`` pads only the
     final ragged batch; any change to eval iteration order must go
     through here (ADVICE r3: the coupling lives in one place, not at
-    every zip site). Set ``POINTTPU_CHECK_EVAL_MASKS=1`` to verify the
+    every zip site). Set ``POINTTPU_CHECK_EVAL_MASKS=1`` (exactly) to
+    verify the
     recomputed masks against the iterator-provided ones (costs one
     device->host readback per batch; exercised by the test suite)."""
     n = len(arrays[0])
-    check = bool(os.environ.get("POINTTPU_CHECK_EVAL_MASKS"))
+    check = os.environ.get("POINTTPU_CHECK_EVAL_MASKS") == "1"
     count = 0
     for batch, mask in zip(
             batch_iterator(arrays, batch_size, shuffle=False,

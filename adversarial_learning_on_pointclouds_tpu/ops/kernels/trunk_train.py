@@ -61,6 +61,15 @@ _POS = 3.0e38
 # F1: z2 + BN2 statistics
 # ---------------------------------------------------------------------------
 
+def _acc(ref, val_2d):
+    """Accumulate a ``[1, C]`` row into a stat ref that is ``[1, C]``
+    (groups=1, the original layout) or ``[1, 1, C]`` (grouped: Mosaic's
+    block rule forbids ``(1, C)`` blocks over ``(G, C)`` arrays, so the
+    grouped stats carry a singleton middle axis — CLAUDE.md block
+    rule)."""
+    ref[...] += val_2d if ref.ndim == 2 else val_2d[None]
+
+
 def _make_f1_kernel(bpg):
     def _f1_kernel(x_ref, w_ref, b_ref, z_ref, sum_ref, ssq_ref):
         # Zero the stat block on its FIRST visit (batch-major grid ->
@@ -73,8 +82,8 @@ def _make_f1_kernel(bpg):
 
         z = _mxu_dot(x_ref[0], w_ref[...]) + b_ref[...]
         z_ref[...] = z.astype(z_ref.dtype)[None]
-        sum_ref[...] += jnp.sum(z, axis=0, keepdims=True)
-        ssq_ref[...] += jnp.sum(z * z, axis=0, keepdims=True)
+        _acc(sum_ref, jnp.sum(z, axis=0, keepdims=True))
+        _acc(ssq_ref, jnp.sum(z * z, axis=0, keepdims=True))
     return _f1_kernel
 
 
@@ -87,12 +96,28 @@ def _stash_dtype():
     return jnp.bfloat16 if _core.compute_dtype() is not None else jnp.float32
 
 
+def _stat_spec(groups, bpg, c):
+    """Out/in spec + array shape for a per-group ``[*, C]`` stat.
+
+    groups=1 keeps the original ``(1, C)`` layout (bit-stable lowering
+    for the validated default path); groups>1 uses ``(G, 1, C)`` arrays
+    with ``(1, 1, C)`` blocks indexed by ``i // bpg`` — Mosaic's block
+    rule forbids partial blocks over the sublane axis of a 2D array."""
+    if groups == 1:
+        return (pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                (1, c))
+    return (pl.BlockSpec((1, 1, c), lambda i, j: (i // bpg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            (groups, 1, c))
+
+
 def _f1_call(x, w2, b2, groups=1):
     bsz, n, c_in = x.shape
     c2 = w2.shape[1]
     tn = _tile_n(n, cap=512)
     bpg = bsz // groups
-    grp = lambda i, j: (i // bpg, 0)  # noqa: E731  per-group stat block
+    st2, sh2 = _stat_spec(groups, bpg, c2)
     z2, s, ss = pl.pallas_call(
         _make_f1_kernel(bpg),
         grid=(bsz, n // tn),
@@ -107,24 +132,29 @@ def _f1_call(x, w2, b2, groups=1):
         out_specs=(
             pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
+            st2, st2,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, n, c2), _stash_dtype()),
-            jax.ShapeDtypeStruct((groups, c2), jnp.float32),
-            jax.ShapeDtypeStruct((groups, c2), jnp.float32),
+            jax.ShapeDtypeStruct(sh2, jnp.float32),
+            jax.ShapeDtypeStruct(sh2, jnp.float32),
         ),
         interpret=_interpret(),
     )(x, w2, b2.reshape(1, c2))
     if groups == 1:
         return z2, s.reshape(c2), ss.reshape(c2)
-    return z2, s, ss
+    return z2, s.reshape(groups, c2), ss.reshape(groups, c2)
 
 
 # ---------------------------------------------------------------------------
 # F2: h2 (in-register) -> z3 stats + per-cloud extrema and winner indices
 # ---------------------------------------------------------------------------
+
+def _row_of(ref):
+    """Read a per-group ``[1, C]`` row out of a ref that is ``[1, C]``
+    (groups=1 layout) or ``[1, 1, C]`` (grouped layout)."""
+    return ref[...] if ref.ndim == 2 else ref[0]
+
 
 def _make_f2_kernel(bpg):
     def _f2_kernel(z2_ref, sc_ref, sh_ref, w_ref, b_ref,
@@ -143,11 +173,11 @@ def _make_f2_kernel(bpg):
             imax_ref[...] = jnp.zeros_like(imax_ref)
             imin_ref[...] = jnp.zeros_like(imin_ref)
 
-        h2 = jnp.maximum(z2_ref[0].astype(jnp.float32) * sc_ref[...]
-                         + sh_ref[...], 0.0)
+        h2 = jnp.maximum(z2_ref[0].astype(jnp.float32) * _row_of(sc_ref)
+                         + _row_of(sh_ref), 0.0)
         z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]       # [TILE_N, 1024]
-        sum_ref[...] += jnp.sum(z3, axis=0, keepdims=True)
-        ssq_ref[...] += jnp.sum(z3 * z3, axis=0, keepdims=True)
+        _acc(sum_ref, jnp.sum(z3, axis=0, keepdims=True))
+        _acc(ssq_ref, jnp.sum(z3 * z3, axis=0, keepdims=True))
 
         tn, c3 = z3.shape
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, c3), 0)
@@ -173,27 +203,26 @@ def _f2_call(z2, scale2, shift2, w3, b3, groups=1):
     c3 = w3.shape[1]
     tn = _tile_n(n, cap=512)
     bpg = bsz // groups
-    grp = lambda i, j: (i // bpg, 0)  # noqa: E731
+    st2, sh2shape = _stat_spec(groups, bpg, c2)
+    st3, sh3shape = _stat_spec(groups, bpg, c3)
     # Per-group BN2 fold scalars ride the group index; groups=1 keeps the
     # original (1, c2) broadcast row.
-    sc2 = scale2.reshape(groups, c2)
-    sh2 = shift2.reshape(groups, c2)
+    sc2 = scale2.reshape(sh2shape)
+    sh2 = shift2.reshape(sh2shape)
     outs = pl.pallas_call(
         _make_f2_kernel(bpg),
         grid=(bsz, n // tn),
         in_specs=[
             pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
+            st2, st2,
             pl.BlockSpec(w3.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, c3), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3), grp, memory_space=pltpu.VMEM),
+            st3, st3,
             pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
@@ -204,8 +233,8 @@ def _f2_call(z2, scale2, shift2, w3, b3, groups=1):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((groups, c3), jnp.float32),
-            jax.ShapeDtypeStruct((groups, c3), jnp.float32),
+            jax.ShapeDtypeStruct(sh3shape, jnp.float32),
+            jax.ShapeDtypeStruct(sh3shape, jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, c3), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, c3), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, c3), jnp.int32),
@@ -216,6 +245,8 @@ def _f2_call(z2, scale2, shift2, w3, b3, groups=1):
     s3, ss3, mx, mn, imax, imin = outs
     if groups == 1:
         s3, ss3 = s3.reshape(c3), ss3.reshape(c3)
+    else:
+        s3, ss3 = s3.reshape(groups, c3), ss3.reshape(groups, c3)
     return (s3, ss3, mx.reshape(bsz, c3),
             mn.reshape(bsz, c3), imax.reshape(bsz, c3),
             imin.reshape(bsz, c3))
@@ -242,9 +273,9 @@ def _make_b1_kernel(bpg):
             t2_ref[...] = jnp.zeros_like(t2_ref)
 
         z2 = z2_ref[0].astype(jnp.float32)
-        h2 = jnp.maximum(z2 * sc_ref[...] + sh_ref[...], 0.0)
+        h2 = jnp.maximum(z2 * _row_of(sc_ref) + _row_of(sh_ref), 0.0)
         z3 = _mxu_dot(h2, w_ref[...]) + b_ref[...]
-        zhat3 = (z3 - mu3_ref[...]) * inv3_ref[...]
+        zhat3 = (z3 - _row_of(mu3_ref)) * _row_of(inv3_ref)
 
         tn, c3 = z3.shape
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, c3), 0)
@@ -258,9 +289,9 @@ def _make_b1_kernel(bpg):
         dh2 = _mxu_dot(dz3, w_ref[...].T)                 # [TILE_N, c2]
         dy2 = dh2 * (h2 > 0).astype(dh2.dtype)            # relu' from h2
         dy2_ref[...] = dy2.astype(dy2_ref.dtype)[None]
-        zhat2 = (z2 - mu2_ref[...]) * inv2_ref[...]
-        t1_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
-        t2_ref[...] += jnp.sum(dy2 * zhat2, axis=0, keepdims=True)
+        zhat2 = (z2 - _row_of(mu2_ref)) * _row_of(inv2_ref)
+        _acc(t1_ref, jnp.sum(dy2, axis=0, keepdims=True))
+        _acc(t2_ref, jnp.sum(dy2 * zhat2, axis=0, keepdims=True))
     return _b1_kernel
 
 
@@ -270,8 +301,10 @@ def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
     c3 = w3.shape[1]
     tn = _tile_n(n, cap=512)
     bpg = bsz // groups
-    grp = lambda i, j: (i // bpg, 0)  # noqa: E731
-    gr2 = lambda a: a.reshape(groups, -1)  # noqa: E731  per-group rows
+    st2, sh2shape = _stat_spec(groups, bpg, c2)
+    st3, sh3shape = _stat_spec(groups, bpg, c3)
+    gr2 = lambda a: a.reshape(sh2shape)  # noqa: E731  per-group rows
+    gr3 = lambda a: a.reshape(sh3shape)  # noqa: E731
     row = lambda a: a.reshape(1, -1)  # noqa: E731
     outs = pl.pallas_call(
         _make_b1_kernel(bpg),
@@ -279,14 +312,12 @@ def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
         in_specs=[
             pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
+            st2, st2,
             pl.BlockSpec(w3.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3), grp, memory_space=pltpu.VMEM),
+            st3, st3,
             pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
@@ -295,8 +326,7 @@ def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c3), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
+            st2, st2,
         ],
         out_specs=(
             pl.BlockSpec((1, tn, c2), lambda i, j: (i, j, 0),
@@ -305,24 +335,25 @@ def _b1_call(z2, scale2, shift2, w3, b3, mu3, inv3, coef1, coef2, s3dg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), grp, memory_space=pltpu.VMEM),
+            st2, st2,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
             jax.ShapeDtypeStruct(w3.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, c3), jnp.float32),
-            jax.ShapeDtypeStruct((groups, c2), jnp.float32),
-            jax.ShapeDtypeStruct((groups, c2), jnp.float32),
+            jax.ShapeDtypeStruct(sh2shape, jnp.float32),
+            jax.ShapeDtypeStruct(sh2shape, jnp.float32),
         ),
         interpret=_interpret(),
-    )(z2, gr2(scale2), gr2(shift2), w3, row(b3), gr2(mu3), gr2(inv3),
+    )(z2, gr2(scale2), gr2(shift2), w3, row(b3), gr3(mu3), gr3(inv3),
       coef1.reshape(bsz, 1, c3), coef2.reshape(bsz, 1, c3),
       s3dg.reshape(bsz, 1, c3), idx.reshape(bsz, 1, c3),
       gr2(mu2), gr2(inv2))
     dy2, dw3, db3, t1, t2 = outs
     if groups == 1:
         t1, t2 = t1.reshape(c2), t2.reshape(c2)
+    else:
+        t1, t2 = t1.reshape(groups, c2), t2.reshape(groups, c2)
     return dy2, dw3, db3.reshape(c3), t1, t2
 
 

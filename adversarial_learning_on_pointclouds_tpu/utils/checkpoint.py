@@ -156,16 +156,23 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _resolve_path(ckpt_dir: str, step: Optional[int]) -> str:
+    """``step=None`` -> the latest checkpoint's directory (one place for
+    the latest-step policy; shared by ``restore`` and
+    ``restore_fields``)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    return os.path.join(_abs(ckpt_dir), str(step))
+
+
 def restore(ckpt_dir: str, state_like: Any, step: Optional[int] = None) -> Any:
     """Restore the full train state (structure taken from ``state_like``).
 
     ``step=None`` restores the latest checkpoint (``--resume latest``).
     """
-    if step is None:
-        step = latest_step(ckpt_dir)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
-    path = os.path.join(_abs(ckpt_dir), str(step))
+    path = _resolve_path(ckpt_dir, step)
     with ocp.PyTreeCheckpointer() as ckptr:
         target = jax.tree_util.tree_map(np.asarray, jax.device_get(state_like))
         restored = ckptr.restore(path, target)
@@ -188,11 +195,7 @@ def restore_fields(ckpt_dir: str, state_like: Any, fields: Sequence[str],
     stores the NamedTuple as a dict keyed by field name, so the raw
     (template-free) restore can be sliced per field and cast against
     the matching ``state_like`` subtree."""
-    if step is None:
-        step = latest_step(ckpt_dir)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
-    path = os.path.join(_abs(ckpt_dir), str(step))
+    path = _resolve_path(ckpt_dir, step)
     with ocp.PyTreeCheckpointer() as ckptr:
         raw = ckptr.restore(path)
     return {

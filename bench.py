@@ -36,6 +36,7 @@ def _wait_for_backend(budget_s: float, verbose: bool) -> None:
     retried — and retry within ``budget_s`` before giving up."""
     deadline = time.monotonic() + budget_s
     attempt = 0
+    last_err = "probe timed out (wedge-style hang)"
     while True:
         attempt += 1
         try:
@@ -43,12 +44,17 @@ def _wait_for_backend(budget_s: float, verbose: bool) -> None:
                                timeout=120, capture_output=True)
             if r.returncode == 0:
                 return
+            # Fast non-zero exit = a real error (broken env/plugin), not
+            # a wedge — surface it instead of silently burning retries.
+            last_err = (r.stderr or b"").decode(errors="replace")[-2000:]
+            print(f"# backend probe {attempt} errored (rc={r.returncode}):"
+                  f"\n{last_err}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            pass
+            last_err = "probe timed out (wedge-style hang)"
         if time.monotonic() >= deadline:
             print(f"bench.py: accelerator backend unavailable after "
-                  f"{attempt} probes over {budget_s:.0f}s — giving up",
-                  file=sys.stderr)
+                  f"{attempt} probes over {budget_s:.0f}s — giving up. "
+                  f"Last probe: {last_err}", file=sys.stderr)
             sys.exit(1)
         if verbose:
             print(f"# backend probe {attempt} failed; retrying in 180s",
@@ -99,6 +105,10 @@ def main() -> None:
                    help="how long to wait for a wedged accelerator "
                         "backend to recover before failing (0 = no wait)")
     args = p.parse_args()
+
+    if args.paired_trunks and (not args.paired_heads or args.fused_forward):
+        p.error("--paired_trunks requires the paired-heads path "
+                "(drop --no_paired_heads / --fused_forward)")
 
     if args.backend_wait_s > 0:
         _wait_for_backend(args.backend_wait_s, args.verbose)

@@ -337,10 +337,13 @@ def test_trunk2_grouped_matches_sequential():
 
 
 def test_paired_trunks_step_matches_paired_heads():
-    """Full jitted G+D step with --paired_trunks: finite metrics, params
-    update, and the G loss matches the paired-heads-only step (the
-    grouped trunk is bit-identical in values; any residual delta is jit
-    scheduling noise)."""
+    """Full jitted G+D step with --paired_trunks UNDER use_pallas (the
+    grouped-trunk path gates on pallas_enabled; without the context both
+    configs run the identical sequential trace and the comparison is
+    vacuous — review r4 finding): finite metrics, params update, and the
+    G loss matches the paired-heads-only step (the grouped trunk is
+    bit-identical in values)."""
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
     from adversarial_learning_on_pointclouds_tpu.train import adversarial
 
     rng = np.random.default_rng(11)
@@ -353,8 +356,10 @@ def test_paired_trunks_step_matches_paired_heads():
                             paired_trunks=True)
     g_tx, d_tx = adversarial.make_txs(cfg, 1)
     state = adversarial.create_state(cfg, 1)
-    new_state, m = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg,
-                                          g_tx=g_tx, d_tx=d_tx)
+    with use_pallas():
+        new_state, m = adversarial.train_step(state, x_l, y_l, x_u,
+                                              cfg=cfg, g_tx=g_tx,
+                                              d_tx=d_tx)
     for k, v in m.items():
         assert np.isfinite(float(v)), k
     changed = any(
@@ -366,8 +371,9 @@ def test_paired_trunks_step_matches_paired_heads():
     cfg_ph = AdversarialConfig(num_parts=50, batch_size=B,
                                num_points=2 * N, feature_transform=True,
                                paired_heads=True, paired_trunks=False)
-    _, m_ph = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg_ph,
-                                     g_tx=g_tx, d_tx=d_tx)
+    with use_pallas():
+        _, m_ph = adversarial.train_step(state, x_l, y_l, x_u, cfg=cfg_ph,
+                                         g_tx=g_tx, d_tx=d_tx)
     assert float(m["loss_g"]) == pytest.approx(float(m_ph["loss_g"]),
                                                rel=1e-5)
 
