@@ -146,6 +146,18 @@ def test_paired_heads_flag_pair():
         base + ["--no_paired_heads", "--paired_heads"]).paired_heads is True
 
 
+def test_paired_trunks_requires_paired_heads():
+    """--paired_trunks only exists on the paired two-stream path; the CLI
+    must refuse the combinations that would silently measure the
+    sequential path under the flag (review r4 finding)."""
+    base = ["--dataset", "x", "--paired_trunks"]
+    assert adversarial_config_from_args(base).paired_trunks is True
+    with pytest.raises(SystemExit):
+        adversarial_config_from_args(base + ["--no_paired_heads"])
+    with pytest.raises(SystemExit):
+        adversarial_config_from_args(base + ["--fused_forward"])
+
+
 # ---------------------------------------------------------------------------
 # AsyncSaver sticky error is pinned in test_round3 (close() re-raises);
 # here: the success path must NOT trip the sticky check.
