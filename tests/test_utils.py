@@ -154,3 +154,44 @@ def test_render_cloud_script(shapenet_root, tmp_path):
         env=env, capture_output=True, timeout=300)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert os.path.getsize(out) > 5000
+
+
+def test_tpu_watchdog_logic(tmp_path):
+    """scripts/tpu_watchdog.py pure logic: pgid-file parsing tolerates
+    comments/garbage, the probe treats hangs (TimeoutExpired) and fast
+    errors as wedged, and the agenda runner continues past a failed
+    stage by default but honors --stop_on_fail."""
+    import importlib.util
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_watchdog",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "tpu_watchdog.py"))
+    wd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wd)
+
+    pg = tmp_path / "groups"
+    pg.write_text("123\n# comment\n  456  # trailing\n\nnot-a-pid\n")
+    assert wd.read_pgids(str(pg)) == [123, 456]
+    assert wd.read_pgids(str(tmp_path / "missing")) == []
+    assert wd.read_pgids(None) == []
+
+    ok = type("R", (), {"returncode": 0})()
+    bad = type("R", (), {"returncode": 1})()
+    assert wd.probe_backend(runner=lambda *a, **k: ok)
+    assert not wd.probe_backend(runner=lambda *a, **k: bad)
+
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    assert not wd.probe_backend(runner=hang)
+
+    lines = []
+    failed = wd.run_agenda(["false", "true", "true"], cmd_timeout=30,
+                           stop_on_fail=False, log=lines.append)
+    assert failed == 1 and "stage 3" in "".join(lines)
+    lines = []
+    failed = wd.run_agenda(["false", "true"], cmd_timeout=30,
+                           stop_on_fail=True, log=lines.append)
+    assert failed == 1 and "stage 2" not in "".join(lines)
