@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=3, help="seeds per cell")
+    p.add_argument("--seed_base", type=int, default=0,
+                   help="first seed (cells run seeds seed_base..+seeds); "
+                        "lets a follow-on sweep EXTEND an earlier "
+                        "artifact's N without re-running its seeds — "
+                        "merge with ablation_digest.py a.json b.json")
     p.add_argument("--ratios", type=float, nargs="+", default=[0.25, 0.5])
     p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--batchSize", type=int, default=16)
@@ -130,7 +135,8 @@ def main():
     # deterministic (pinned by the determinism tests), so a resumed
     # sweep equals an uninterrupted one. The sidecar is deleted once the
     # final artifact is written.
-    cfg_keys = ("seeds", "ratios", "nepoch", "batchSize", "num_points",
+    cfg_keys = ("seeds", "seed_base", "ratios", "nepoch", "batchSize",
+                "num_points",
                 "num_shapes", "scan", "semi_start", "lambda_semi",
                 "lambda_adv", "lambda_adv_unl", "threshold",
                 "st_threshold", "d_geometry", "modes", "boundary_jitter",
@@ -157,7 +163,7 @@ def main():
 
     runs = []
     for ratio in a.ratios:
-        for seed in range(a.seeds):
+        for seed in range(a.seed_base, a.seed_base + a.seeds):
             for mode in a.modes:
                 key = (ratio, seed, mode)
                 if key in done:

@@ -8,7 +8,17 @@ can merge several artifacts that share a protocol (e.g. the main sweep
 plus a `--semi_start` variant) into one table keyed by an extra label.
 
     ablation_digest.py ABLATION_r03_cluster.json
-    ablation_digest.py main=A.json ss150=B.json   # labeled merge
+    ablation_digest.py main=A.json ss150=B.json   # side-by-side tables
+    ablation_digest.py --merge seeds04.json seeds59.json  # POOLED table
+    ablation_digest.py RUNNING.json.partial       # in-flight sidecar
+
+``--merge`` pools the runs of all given artifacts into ONE table —
+for seed-extension sweeps (`--seed_base`) where the paired deltas
+should use the union of seeds. Pairing is by seed (cells are
+seed-sorted), so artifact order doesn't matter. ``.partial`` sidecars
+(JSON-lines, config fingerprint header) are read natively, so a
+mid-flight sweep can be digested without waiting for the final
+artifact.
 """
 
 import json
@@ -17,13 +27,30 @@ import sys
 import numpy as np
 
 
+def _load(path):
+    """Artifact OR ``.partial`` sidecar -> ``(config_or_None, runs)``."""
+    with open(path) as f:
+        first = f.readline()
+        try:  # sidecar: JSON-lines with a config-fingerprint header
+            head = json.loads(first)
+        except json.JSONDecodeError:  # pretty-printed artifact
+            head = None
+        if isinstance(head, dict) and "config_fp" in head:
+            runs = [json.loads(ln) for ln in f if ln.strip()]
+            return json.loads(head["config_fp"]), runs, {}
+        f.seek(0)
+        art = json.load(f)
+        return art.get("config"), art["runs"], art
+
+
 def _cells(runs, modes, ratio):
     cell = {}
     for mode in modes:
-        vals = [r["best_miou"] for r in runs
-                if r["ratio"] == ratio and r["mode"] == mode]
-        if vals:
-            cell[mode] = vals
+        rows = sorted((r for r in runs
+                       if r["ratio"] == ratio and r["mode"] == mode),
+                      key=lambda r: r.get("seed", 0))
+        if rows:
+            cell[mode] = [r["best_miou"] for r in rows]
     return cell
 
 
@@ -33,14 +60,14 @@ def _paired(a, b):
     return (float(np.mean(d)), se, sum(x > 0 for x in d), len(d))
 
 
-def digest(label, path):
-    with open(path) as f:
-        art = json.load(f)
-    runs = art["runs"]
+def digest(label, path, pooled_runs=None, pooled_cfg=None):
+    if pooled_runs is not None:
+        art, cfg, runs = {}, pooled_cfg, pooled_runs
+    else:
+        cfg, runs, art = _load(path)
     for r in runs:  # hand-rolled early artifacts lack the ratio key
         r.setdefault("ratio", None)
     print(f"\n### {label or path}")
-    cfg = art.get("config")
     if cfg is None:  # early artifact schema: free-text protocol only
         print(f"protocol: {art.get('protocol', '(unrecorded)')}")
         cfg = {"ratios": sorted({r["ratio"] for r in runs},
@@ -78,10 +105,26 @@ def digest(label, path):
 
 
 def main():
-    if len(sys.argv) < 2:
+    args = sys.argv[1:]
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
+    if not args:
         print(__doc__)
         sys.exit(1)
-    for arg in sys.argv[1:]:
+    if merge:
+        cfg, runs = None, []
+        for arg in args:
+            c, r, _ = _load(arg)
+            cfg = cfg or c
+            runs.extend(r)
+        seeds = sorted({r.get("seed") for r in runs})
+        if cfg is not None:
+            cfg = dict(cfg, seeds=len(seeds))
+        digest(f"POOLED ({len(args)} artifacts, seeds {seeds})", None,
+               pooled_runs=runs, pooled_cfg=cfg)
+        return
+    for arg in args:
         label, _, path = arg.rpartition("=")
         digest(label, path or arg)
 

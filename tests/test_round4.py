@@ -221,6 +221,44 @@ def test_ablation_sweep_resumes_from_partial(tmp_path, monkeypatch):
     assert len(calls) == 4  # full sweep re-ran
 
 
+def test_ablation_seed_base_extension_and_pooled_digest(
+        tmp_path, monkeypatch, capsys):
+    """--seed_base runs seeds [base, base+seeds) so a follow-on sweep
+    EXTENDS an earlier artifact's N; ablation_digest --merge pools both
+    artifacts into one seed-paired table."""
+    import json
+
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+    from scripts import ablation_adversarial_gain as abl
+    from scripts import ablation_digest as dig
+
+    def fake_run(cfg):
+        # Deterministic per-cell value; adv beats sup by 0.02 always.
+        return {"best_miou": 0.5 + 0.001 * cfg.seed
+                + (0.02 if not cfg.supervised_only else 0.0)}
+
+    monkeypatch.setattr(runner, "run_adversarial", fake_run)
+    outs = []
+    for base in (0, 2):
+        out = str(tmp_path / f"abl_{base}.json")
+        outs.append(out)
+        monkeypatch.setattr("sys.argv", [
+            "x", "--seeds", "2", "--seed_base", str(base), "--ratios",
+            "0.5", "--modes", "sup", "adv", "--dataset", "unused",
+            "--json", out])
+        abl.main()
+    with open(outs[1]) as f:
+        art = json.load(f)
+    assert sorted({r["seed"] for r in art["runs"]}) == [2, 3]
+
+    capsys.readouterr()
+    monkeypatch.setattr("sys.argv", ["x", "--merge"] + outs)
+    dig.main()
+    tbl = capsys.readouterr().out
+    assert "seeds [0, 1, 2, 3]" in tbl
+    assert "+0.0200" in tbl and "(4/4+)" in tbl
+
+
 # ---------------------------------------------------------------------------
 # Point-sharded TRAINING (giant-cloud train step over the mesh)
 # ---------------------------------------------------------------------------
