@@ -451,3 +451,25 @@ def test_bench_backend_wait(monkeypatch):
     monkeypatch.setattr("time.sleep", lambda s: None)
     with pytest.raises(SystemExit):
         bench._wait_for_backend(0.05, verbose=False)
+
+
+# ---------------------------------------------------------------------------
+# Giant-cloud trainer CLI (point-sharded training end-to-end)
+# ---------------------------------------------------------------------------
+
+def test_train_giant_cloud_script(tmp_path, monkeypatch):
+    """scripts/train_giant_cloud.py drives point_sharded_train_step +
+    point_sharded_eval end-to-end on the 8-device mesh: runs, logs
+    finite metrics, writes a restorable checkpoint. (No --cpu flag: the
+    conftest already forced the 8-device CPU backend; the flag exists
+    for standalone runs before first device use.)"""
+    from scripts import train_giant_cloud
+
+    out = str(tmp_path / "giant")
+    monkeypatch.setattr("sys.argv", [
+        "x", "--num_points", "512", "--num_shapes", "8", "--batchSize",
+        "2", "--nepoch", "1", "--outf", out])
+    best = train_giant_cloud.main()
+    assert np.isfinite(best) and 0.0 <= best <= 1.0
+    from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
+    assert checkpoint.latest_step(out) == 0
