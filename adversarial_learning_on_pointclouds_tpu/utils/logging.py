@@ -55,6 +55,13 @@ class MetricLogger:
         self.csv_path = os.path.join(out_dir, f"{run_name}_metrics.csv")
         self._csv_file = open(self.csv_path, "a", newline="")
         self._csv: Optional[csv.DictWriter] = None
+        # Per-epoch summaries get their own CSV (mIoU/acc/train_s/...):
+        # the per-step file has a different schema, and epoch rows are
+        # the ones post-hoc analysis actually reads.
+        self.epoch_csv_path = os.path.join(out_dir,
+                                           f"{run_name}_epochs.csv")
+        self._epoch_csv_file = open(self.epoch_csv_path, "a", newline="")
+        self._epoch_csv: Optional[csv.DictWriter] = None
         self._tb = None
         if tensorboard:
             try:
@@ -145,6 +152,13 @@ class MetricLogger:
         self._drain(0)
         parts = " ".join(f"{k}: {v:.6f}" for k, v in scalars.items())
         print(f"[epoch {epoch}] {parts}")
+        row = {"epoch": epoch, **{k: float(v) for k, v in scalars.items()}}
+        if self._epoch_csv is None:
+            self._epoch_csv = csv.DictWriter(self._epoch_csv_file,
+                                             fieldnames=row.keys())
+            if self._epoch_csv_file.tell() == 0:
+                self._epoch_csv.writeheader()
+        self._epoch_csv.writerow(row)
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"epoch/{k}", v, epoch)
@@ -153,5 +167,6 @@ class MetricLogger:
     def close(self) -> None:
         self._drain(0)
         self._csv_file.close()
+        self._epoch_csv_file.close()
         if self._tb is not None:
             self._tb.close()

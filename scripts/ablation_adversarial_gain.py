@@ -37,7 +37,9 @@ def main():
                    help="first seed (cells run seeds seed_base..+seeds); "
                         "lets a follow-on sweep EXTEND an earlier "
                         "artifact's N without re-running its seeds — "
-                        "merge with ablation_digest.py a.json b.json")
+                        "pool with ablation_digest.py --merge a.json "
+                        "b.json (without --merge you get side-by-side "
+                        "small-N tables, not the seed union)")
     p.add_argument("--ratios", type=float, nargs="+", default=[0.25, 0.5])
     p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--batchSize", type=int, default=16)
@@ -143,12 +145,20 @@ def main():
                 "cluster_parts")
     cfg_dict = {k: getattr(a, k) for k in cfg_keys}
     cfg_fp = json.dumps(cfg_dict, sort_keys=True)
+    # Pre-seed_base sidecars must stay resumable: at the default base=0
+    # the sweep is identical to one recorded without the key, so accept
+    # the legacy fingerprint too (declaring it stale would truncate the
+    # sidecar and silently re-pay hours of completed cells).
+    ok_fps = {cfg_fp}
+    if a.seed_base == 0:
+        legacy = {k: v for k, v in cfg_dict.items() if k != "seed_base"}
+        ok_fps.add(json.dumps(legacy, sort_keys=True))
     part_path = a.json + ".partial"
     done = {}
     if os.path.exists(part_path):
         with open(part_path) as f:
             lines = [json.loads(ln) for ln in f if ln.strip()]
-        if lines and lines[0].get("config_fp") == cfg_fp:
+        if lines and lines[0].get("config_fp") in ok_fps:
             done = {(r["ratio"], r["seed"], r["mode"]): r
                     for r in lines[1:]}
             print(f"[ablation] resuming {a.json}: {len(done)} cells "

@@ -115,10 +115,33 @@ def main():
     if merge:
         cfg, runs = None, []
         for arg in args:
-            c, r, _ = _load(arg)
-            cfg = cfg or c
+            _, _, path = arg.rpartition("=")
+            c, r, _ = _load(path or arg)
+            # Pooled paired deltas are only meaningful over ONE protocol:
+            # refuse to merge artifacts whose configs differ on anything
+            # but the seed window (silent cross-protocol pooling is the
+            # manufactured-fake-delta failure the round-3 notes warn of).
+            if c is not None:
+                key = {k: v for k, v in c.items()
+                       if k not in ("seeds", "seed_base")}
+                if cfg is None:
+                    cfg = key
+                elif key != cfg:
+                    diff = sorted(k for k in set(key) | set(cfg)
+                                  if key.get(k) != cfg.get(k))
+                    sys.exit(f"--merge: {arg} was run under a different "
+                             f"protocol (differs on {diff}) — pooling "
+                             f"would pair across protocols")
             runs.extend(r)
-        seeds = sorted({r.get("seed") for r in runs})
+        keys = [(r.get("ratio"), r.get("seed"), r.get("mode"))
+                for r in runs]
+        dups = sorted({k for k in keys if keys.count(k) > 1}, key=repr)
+        if dups:
+            sys.exit(f"--merge: duplicate (ratio, seed, mode) cells "
+                     f"across artifacts (forgot --seed_base?): "
+                     f"{dups[:4]}{'...' if len(dups) > 4 else ''}")
+        seeds = sorted({r.get("seed") for r in runs},
+                       key=lambda s: (s is None, s))
         if cfg is not None:
             cfg = dict(cfg, seeds=len(seeds))
         digest(f"POOLED ({len(args)} artifacts, seeds {seeds})", None,

@@ -84,18 +84,52 @@ def _signal_groups(pgids: list[int], sig: int, log) -> None:
             log(f"  killpg({g}) failed: {e}")
 
 
+def _run_stage(cmd: str, cmd_timeout: float, log) -> int:
+    """One shell stage in its OWN session: a timeout kills the whole
+    process group, not just the ``/bin/sh`` wrapper — otherwise the
+    actual chip job survives as an orphan still holding the device
+    while the watchdog moves on (and SIGCONTs the CPU jobs into the
+    exact host-concurrency crash this tool exists to prevent)."""
+    proc = subprocess.Popen(cmd, shell=True, start_new_session=True)
+    try:
+        return proc.wait(timeout=cmd_timeout)
+    except subprocess.TimeoutExpired:
+        log(f"  stage TIMED OUT after {cmd_timeout:.0f}s — killing its "
+            f"process group")
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        return -1
+
+
 def run_agenda(cmds: list[str], cmd_timeout: float, stop_on_fail: bool,
-               log) -> int:
-    """Run shell commands in order; returns count of failed stages."""
+               log, probe=probe_backend, probe_wait_s: float = 1800.0,
+               probe_interval: float = 240.0) -> int:
+    """Run shell commands in order; returns count of failed stages.
+
+    After a TIMED-OUT stage the chip job was killed mid-step, which can
+    wedge the tunnel (CLAUDE.md) — so the next stage waits for a fresh
+    backend probe (up to ``probe_wait_s``) instead of burning its whole
+    timeout against a wedged device."""
     failed = 0
+    reprobe = False
     for i, cmd in enumerate(cmds, 1):
+        if reprobe:
+            log(f"  re-probing backend before stage {i} (previous stage "
+                f"was killed mid-step)")
+            deadline = time.monotonic() + probe_wait_s
+            while not probe():
+                if time.monotonic() >= deadline:
+                    log("  backend did not recover — aborting agenda")
+                    return failed + (len(cmds) - i + 1)
+                time.sleep(probe_interval)
+            reprobe = False
         t0 = time.monotonic()
         log(f"=== stage {i}/{len(cmds)}: {cmd}")
-        try:
-            rc = subprocess.call(cmd, shell=True, timeout=cmd_timeout)
-        except subprocess.TimeoutExpired:
-            rc = -1
-            log(f"  stage {i} TIMED OUT after {cmd_timeout:.0f}s")
+        rc = _run_stage(cmd, cmd_timeout, log)
+        reprobe = rc == -1
         log(f"  stage {i} rc={rc} wall={time.monotonic() - t0:.0f}s")
         if rc != 0:
             failed += 1
@@ -151,7 +185,9 @@ def main() -> int:
     if a.busy_lock:
         open(a.busy_lock, "w").close()
     try:
-        failed = run_agenda(a.agenda, a.cmd_timeout, a.stop_on_fail, log)
+        failed = run_agenda(a.agenda, a.cmd_timeout, a.stop_on_fail, log,
+                            probe=lambda: probe_backend(a.probe_timeout),
+                            probe_interval=a.interval)
     finally:
         if a.busy_lock and os.path.exists(a.busy_lock):
             os.unlink(a.busy_lock)

@@ -51,6 +51,12 @@ def main():
                    help="mesh size (0 = all visible devices)")
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--outf", type=str, default="seg_giant")
+    p.add_argument("--ckpt_policy", type=str, default="every",
+                   choices=["every", "latest", "none"],
+                   help="per-epoch checkpointing: every epoch (blocking "
+                        "backpressure), skip-to-latest, or none — a "
+                        "multi-hour giant-cloud run must not lose "
+                        "everything to one tunnel wedge")
     p.add_argument("--class_choice", type=str, default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend with an emulated "
@@ -114,6 +120,10 @@ def main():
 
     (x_tr, s_tr, _c_tr), (x_te, s_te, c_te) = runner._shapenet_arrays(cfg)
     spe = num_batches(len(x_tr), cfg.batch_size)
+    if a.nepoch < 1 or spe < 1:
+        p.error(f"nothing to train: {a.nepoch} epochs x {spe} "
+                f"steps/epoch (train set {len(x_tr)} shapes < "
+                f"--batchSize {a.batchSize}?)")
     tx = segment.make_tx(cfg, spe)
     state = segment.create_state(cfg, spe)
     logger = MetricLogger(cfg.out_dir, "seg_giant", quiet=cfg.quiet)
@@ -123,6 +133,7 @@ def main():
           flush=True)
 
     best = 0.0
+    saver = checkpoint.AsyncSaver(a.ckpt_policy)
     for epoch in range(a.nepoch):
         t0 = time.perf_counter()
         for batch in host_batch_iterator((x_tr, s_tr), cfg.batch_size,
@@ -156,7 +167,8 @@ def main():
             loss=float(m["loss"]),
             train_s=round(train_s, 3),
             eval_s=round(time.perf_counter() - t0 - train_s, 3))
-    checkpoint.save(cfg.out_dir, a.nepoch - 1, state)
+        saver.save(cfg.out_dir, epoch, state)
+    saver.close()  # drains: the final epoch is durable before returning
     logger.close()
     print(f"[giant] best instance mIoU {best:.4f}")
     return best

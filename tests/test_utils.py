@@ -161,15 +161,9 @@ def test_tpu_watchdog_logic(tmp_path):
     comments/garbage, the probe treats hangs (TimeoutExpired) and fast
     errors as wedged, and the agenda runner continues past a failed
     stage by default but honors --stop_on_fail."""
-    import importlib.util
     import subprocess
 
-    spec = importlib.util.spec_from_file_location(
-        "tpu_watchdog",
-        os.path.join(os.path.dirname(__file__), "..", "scripts",
-                     "tpu_watchdog.py"))
-    wd = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(wd)
+    from scripts import tpu_watchdog as wd
 
     pg = tmp_path / "groups"
     pg.write_text("123\n# comment\n  456  # trailing\n\nnot-a-pid\n")
@@ -195,3 +189,44 @@ def test_tpu_watchdog_logic(tmp_path):
     failed = wd.run_agenda(["false", "true"], cmd_timeout=30,
                            stop_on_fail=True, log=lines.append)
     assert failed == 1 and "stage 2" not in "".join(lines)
+
+    # A timed-out stage kills its whole PROCESS GROUP (the sleep child
+    # of the shell, not just the shell) and the next stage waits for a
+    # fresh backend probe before launching.
+    probes = []
+
+    def fake_probe():
+        probes.append(1)
+        return len(probes) >= 2
+
+    lines = []
+    failed = wd.run_agenda(["sleep 30", "true"], cmd_timeout=0.5,
+                           stop_on_fail=False, log=lines.append,
+                           probe=fake_probe, probe_wait_s=30,
+                           probe_interval=0.01)
+    out = "".join(lines)
+    assert failed == 1 and "TIMED OUT" in out and "re-probing" in out
+    assert len(probes) == 2 and "stage 2 rc=0" in out
+
+    # Backend never recovers -> remaining stages counted failed, agenda
+    # aborts instead of burning each stage's timeout.
+    lines = []
+    failed = wd.run_agenda(["sleep 30", "true", "true"], cmd_timeout=0.5,
+                           stop_on_fail=False, log=lines.append,
+                           probe=lambda: False, probe_wait_s=0.05,
+                           probe_interval=0.01)
+    assert failed == 3 and "did not recover" in "".join(lines)
+
+
+def test_metric_logger_epoch_csv(tmp_path):
+    """log_epoch persists a per-epoch CSV (the row post-hoc analysis
+    reads; previously epoch summaries were stdout-only despite the docs
+    claiming per-epoch CSV)."""
+    lg = MetricLogger(str(tmp_path), "run", quiet=True)
+    lg.log_epoch(0, instance_miou=0.5, train_s=1.25)
+    lg.log_epoch(1, instance_miou=0.625, train_s=1.5)
+    lg.close()
+    with open(os.path.join(str(tmp_path), "run_epochs.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["0", "1"]
+    assert float(rows[1]["instance_miou"]) == 0.625
