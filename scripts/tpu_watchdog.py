@@ -109,16 +109,19 @@ def run_agenda(cmds: list[str], cmd_timeout: float, stop_on_fail: bool,
                probe_interval: float = 240.0) -> int:
     """Run shell commands in order; returns count of failed stages.
 
-    After a TIMED-OUT stage the chip job was killed mid-step, which can
-    wedge the tunnel (CLAUDE.md) — so the next stage waits for a fresh
-    backend probe (up to ``probe_wait_s``) instead of burning its whole
-    timeout against a wedged device."""
+    After ANY failed stage the next stage waits for a fresh backend
+    probe (up to ``probe_wait_s``): a timed-out stage was killed
+    mid-step, which can wedge the tunnel (CLAUDE.md), and a stage that
+    died on its own may have found it wedged already — either way,
+    burning the next stage's whole timeout against a wedged device
+    wastes the chip window. A healthy backend answers the extra probe
+    in seconds."""
     failed = 0
     reprobe = False
     for i, cmd in enumerate(cmds, 1):
         if reprobe:
             log(f"  re-probing backend before stage {i} (previous stage "
-                f"was killed mid-step)")
+                f"failed)")
             deadline = time.monotonic() + probe_wait_s
             while not probe():
                 if time.monotonic() >= deadline:
@@ -129,7 +132,7 @@ def run_agenda(cmds: list[str], cmd_timeout: float, stop_on_fail: bool,
         t0 = time.monotonic()
         log(f"=== stage {i}/{len(cmds)}: {cmd}")
         rc = _run_stage(cmd, cmd_timeout, log)
-        reprobe = rc == -1
+        reprobe = rc != 0
         log(f"  stage {i} rc={rc} wall={time.monotonic() - t0:.0f}s")
         if rc != 0:
             failed += 1

@@ -183,11 +183,14 @@ def test_tpu_watchdog_logic(tmp_path):
 
     lines = []
     failed = wd.run_agenda(["false", "true", "true"], cmd_timeout=30,
-                           stop_on_fail=False, log=lines.append)
+                           stop_on_fail=False, log=lines.append,
+                           probe=lambda: True)
     assert failed == 1 and "stage 3" in "".join(lines)
+    assert "re-probing" in "".join(lines)  # any failure re-probes
     lines = []
     failed = wd.run_agenda(["false", "true"], cmd_timeout=30,
-                           stop_on_fail=True, log=lines.append)
+                           stop_on_fail=True, log=lines.append,
+                           probe=lambda: True)
     assert failed == 1 and "stage 2" not in "".join(lines)
 
     # A timed-out stage kills its whole PROCESS GROUP (the sleep child
