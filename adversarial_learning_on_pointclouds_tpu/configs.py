@@ -249,7 +249,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_points", type=int, default=None, help="points per cloud")
     p.add_argument("--nepoch", type=int, default=250, help="number of epochs")
     p.add_argument("--outf", type=str, default=None, help="output folder")
-    p.add_argument("--model", type=str, default=None, help="model checkpoint path")
+    p.add_argument("--model", type=str, default=None,
+                   help="checkpoint to warm-start from: an orbax dir "
+                        "written by these trainers, or a reference "
+                        "torch .pth state_dict (params+BN; optimizer "
+                        "restarts — the reference's --model semantics)")
     p.add_argument("--dataset", type=str, default="", help="dataset root path")
     p.add_argument("--manualSeed", type=int, default=0, help="random seed")
     p.add_argument("--feature_transform", action="store_true",
@@ -324,6 +328,23 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "eval scan); requires device-resident pools")
     p.add_argument("--num_devices", type=int, default=0,
                    help="DP mesh size (0 = all visible devices)")
+
+
+def add_cpu_flag(p: argparse.ArgumentParser) -> None:
+    """``--cpu`` for utility scripts (eval/export/infer): the trainer
+    CLIs get it from ``_add_common``; standalone scripts opt in with
+    this pair so they can run host-side while the chip is busy or the
+    tunnel is wedged (a default-backend init would hang)."""
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend in-process (the "
+                        "JAX_PLATFORMS env var is ignored once the TPU "
+                        "plugin registers)")
+
+
+def apply_cpu_flag(a: argparse.Namespace) -> None:
+    if getattr(a, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str):

@@ -172,6 +172,12 @@ def restore(ckpt_dir: str, state_like: Any, step: Optional[int] = None) -> Any:
 
     ``step=None`` restores the latest checkpoint (``--resume latest``).
     """
+    if ckpt_dir.endswith(".pth"):
+        raise ValueError(
+            f"{ckpt_dir!r}: full-state resume cannot load a reference "
+            ".pth — the format holds params/BN only (no optimizer state, "
+            "step, or RNG). Drop --resume_full to warm-start params-only, "
+            "the reference's --model semantics.")
     path = _resolve_path(ckpt_dir, step)
     with ocp.PyTreeCheckpointer() as ckptr:
         target = jax.tree_util.tree_map(np.asarray, jax.device_get(state_like))
@@ -206,11 +212,92 @@ def restore_fields(ckpt_dir: str, state_like: Any, fields: Sequence[str],
     }
 
 
+def _pth_tree_check(what: str, new: Any, like: Any) -> None:
+    """Raise a readable error when an imported ``.pth`` doesn't match the
+    run's template tree (typical causes: ``--feature_transform`` /
+    ``--num_classes`` / ``--num_parts`` / ``--d_geometry`` mismatch, or a
+    checkpoint of the wrong architecture)."""
+    jtu = jax.tree_util
+    a = {jtu.keystr(p): np.shape(v)
+         for p, v in jtu.tree_flatten_with_path(new)[0]}
+    b = {jtu.keystr(p): np.shape(v)
+         for p, v in jtu.tree_flatten_with_path(like)[0]}
+    if a == b:
+        return
+    missing = sorted(set(b) - set(a))
+    extra = sorted(set(a) - set(b))
+    wrong = [f"{k}: {a[k]} != {b[k]}"
+             for k in sorted(set(a) & set(b)) if a[k] != b[k]]
+    raise ValueError(
+        f".pth does not match this run's {what} template"
+        + (f"; missing {missing[:4]}" if missing else "")
+        + (f"; unexpected {extra[:4]}" if extra else "")
+        + (f"; shape mismatch {wrong[:4]}" if wrong else "")
+        + " — check --feature_transform / --num_classes / --num_parts"
+          " / --d_geometry against how the .pth was trained.")
+
+
+def load_pth_warm_start(path: str, state_like: Any) -> Any:
+    """Reference ``torch.save(state_dict)`` checkpoint -> params/BN warm
+    start, exactly the reference CLI's ``--model model_24.pth`` semantics
+    (optimizer state / step / RNG stay fresh; SURVEY.md §2.10).
+
+    Architecture is detected from the state_dict's top-level keys
+    (classifier: ``fc3``; segmenter: ``conv4`` — T-Net fc3/conv4 live
+    under ``feat.*`` prefixes, so the top level is unambiguous). A GAN
+    train state takes the segmenter G from ``path``; if the
+    ``<path minus .pth>_D.pth`` companion written by
+    ``scripts/export_pth.py --arch adv`` sits next to it, the
+    discriminator loads too, else D keeps its fresh init (the reference
+    lineage checkpoints G and D as separate files)."""
+    from . import torch_import as ti
+
+    cast = lambda like, val: jax.numpy.asarray(val, dtype=like.dtype)  # noqa: E731
+    sd = ti.load_pth(path)
+    if hasattr(state_like, "g_params"):
+        params, bn = ti.segmenter_from_state_dict(sd)
+        _pth_tree_check("generator", params, state_like.g_params)
+        _pth_tree_check("generator BN", bn, state_like.g_bn_state)
+        out = state_like._replace(
+            g_params=jax.tree_util.tree_map(cast, state_like.g_params,
+                                            params),
+            g_bn_state=jax.tree_util.tree_map(cast, state_like.g_bn_state,
+                                              bn))
+        d_path = path[:-len(".pth")] + "_D.pth"
+        if os.path.exists(d_path):
+            d_params = ti.discriminator_from_state_dict(ti.load_pth(d_path))
+            _pth_tree_check("discriminator", d_params, state_like.d_params)
+            out = out._replace(
+                d_params=jax.tree_util.tree_map(cast, state_like.d_params,
+                                                d_params))
+        return out
+    if "conv4.weight" in sd:
+        params, bn = ti.segmenter_from_state_dict(sd)
+    elif "fc3.weight" in sd:
+        params, bn = ti.classifier_from_state_dict(sd)
+    else:
+        raise ValueError(
+            f"{path!r}: not a recognized reference state_dict (no "
+            "top-level conv4/fc3 — expected PointNetCls or "
+            "PointNetDenseCls keys)")
+    _pth_tree_check("model", params, state_like.params)
+    _pth_tree_check("model BN", bn, state_like.bn_state)
+    return state_like._replace(
+        params=jax.tree_util.tree_map(cast, state_like.params, params),
+        bn_state=jax.tree_util.tree_map(cast, state_like.bn_state, bn))
+
+
 def load_params_only(ckpt_dir: str, state_like: Any,
                      step: Optional[int] = None) -> Any:
     """Reference-compat resume: take params + BN stats from the
     checkpoint, keep fresh optimizer state / step / RNG (the lineage's
-    ``--model`` warm-start restarts the optimizer)."""
+    ``--model`` warm-start restarts the optimizer).
+
+    A ``*.pth`` path loads the reference torch format directly
+    (``load_pth_warm_start``), so ``--model model_24.pth`` works
+    unchanged for users migrating mid-training-run from the reference."""
+    if ckpt_dir.endswith(".pth"):
+        return load_pth_warm_start(ckpt_dir, state_like)
     restored = restore(ckpt_dir, state_like, step)
     fields = {}
     for name in state_like._fields:

@@ -18,7 +18,12 @@ def main():
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--no_pallas", action="store_true")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     from adversarial_learning_on_pointclouds_tpu import eval as eval_lib
     from adversarial_learning_on_pointclouds_tpu.configs import ClassifyConfig

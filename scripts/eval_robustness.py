@@ -21,7 +21,12 @@ def main():
                    default=[0.0, 0.01, 0.025, 0.05, 0.1])
     p.add_argument("--pgd_steps", type=int, default=0,
                    help="0 = single-step FGSM; >0 = PGD with that many steps")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     import functools
 

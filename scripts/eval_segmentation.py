@@ -23,7 +23,12 @@ def main():
                    help="write the first batch's predictions here as .ply")
     p.add_argument("--adversarial", action="store_true",
                    help="checkpoint is a GAN state (config 4)")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     from adversarial_learning_on_pointclouds_tpu import eval as eval_lib
     from adversarial_learning_on_pointclouds_tpu.configs import (

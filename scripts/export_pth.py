@@ -25,7 +25,12 @@ def main():
     p.add_argument("--num_classes", type=int, default=40)
     p.add_argument("--num_parts", type=int, default=50)
     p.add_argument("--feature_transform", action="store_true")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     from adversarial_learning_on_pointclouds_tpu.configs import (
         AdversarialConfig, ClassifyConfig, SegmentConfig,

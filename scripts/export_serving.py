@@ -45,7 +45,12 @@ def main():
     p.add_argument("--verify", action="store_true",
                    help="deserialize the written artifact and compare "
                         "against the live model on a random batch")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     import numpy as np
 

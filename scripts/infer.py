@@ -63,7 +63,8 @@ def main():
                    help="artifact output kind; default: derived from the "
                         "artifact's output rank (cls: [B,k]; seg: [B,N,k])")
     p.add_argument("--checkpoint", type=str, default="",
-                   help="live checkpoint dir (alternative to --artifact)")
+                   help="live checkpoint dir, or a reference-format "
+                        ".pth state_dict (alternative to --artifact)")
     p.add_argument("--model", choices=("cls", "seg", "adv"), default="cls")
     p.add_argument("--num_points", type=int, default=0,
                    help="0 = infer from the artifact / trainer default")
@@ -75,7 +76,12 @@ def main():
                    help="write the FIRST cloud's part labels as a "
                         "colored .ply (segmentation only)")
     p.add_argument("--no_pallas", action="store_true")
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
     if not a.artifact and not a.checkpoint:
         p.error("need --artifact or --checkpoint")
 
@@ -111,13 +117,15 @@ def main():
         from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
         kind = "cls" if a.model == "cls" else "seg"
         npts = a.num_points or (1024 if kind == "cls" else 2500)
+        is_pth = a.checkpoint.endswith(".pth")
         if a.model == "cls":
             from adversarial_learning_on_pointclouds_tpu.models.classifier \
                 import apply_classifier as apply
             cfg = ClassifyConfig(num_points=npts, num_classes=a.num_classes,
                                  feature_transform=a.feature_transform)
-            st = checkpoint.restore(a.checkpoint,
-                                    classify.create_state(cfg, 1))
+            tmpl = classify.create_state(cfg, 1)
+            st = (checkpoint.load_pth_warm_start(a.checkpoint, tmpl)
+                  if is_pth else checkpoint.restore(a.checkpoint, tmpl))
             params, bn = st.params, st.bn_state
         else:
             from adversarial_learning_on_pointclouds_tpu.models.segmenter \
@@ -125,21 +133,32 @@ def main():
             if a.model == "seg":
                 cfg = SegmentConfig(num_points=npts, num_parts=a.num_parts,
                                     feature_transform=a.feature_transform)
-                st = checkpoint.restore(a.checkpoint,
-                                        segment.create_state(cfg, 1))
+                tmpl = segment.create_state(cfg, 1)
+                st = (checkpoint.load_pth_warm_start(a.checkpoint, tmpl)
+                      if is_pth else checkpoint.restore(a.checkpoint, tmpl))
                 params, bn = st.params, st.bn_state
             else:
                 cfg = AdversarialConfig(num_points=npts,
                                         num_parts=a.num_parts,
                                         feature_transform=a.feature_transform)
-                # Generator subtree only: a full-state restore would
-                # also force the D template to match, which fails for
-                # --d_geometry checkpoints (wider D input) although
-                # inference never touches D (ADVICE r3).
-                sub = checkpoint.restore_fields(
-                    a.checkpoint, adversarial.create_state(cfg, 1),
-                    ("g_params", "g_bn_state"))
-                params, bn = sub["g_params"], sub["g_bn_state"]
+                if is_pth:
+                    # G weights only — a reference adversarial run saves
+                    # G and D as separate .pth files and inference never
+                    # touches D (so a --d_geometry companion can't block
+                    # the load, same rationale as the orbax branch).
+                    from adversarial_learning_on_pointclouds_tpu.utils \
+                        import torch_import
+                    params, bn = torch_import.segmenter_from_state_dict(
+                        torch_import.load_pth(a.checkpoint))
+                else:
+                    # Generator subtree only: a full-state restore would
+                    # also force the D template to match, which fails for
+                    # --d_geometry checkpoints (wider D input) although
+                    # inference never touches D (ADVICE r3).
+                    sub = checkpoint.restore_fields(
+                        a.checkpoint, adversarial.create_state(cfg, 1),
+                        ("g_params", "g_bn_state"))
+                    params, bn = sub["g_params"], sub["g_bn_state"]
         import jax
 
         from adversarial_learning_on_pointclouds_tpu.ops import dispatch

@@ -51,7 +51,12 @@ def main():
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--elev", type=float, default=20.0)
     p.add_argument("--azim", type=float, default=-60.0)
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        add_cpu_flag, apply_cpu_flag,
+    )
+    add_cpu_flag(p)
     a = p.parse_args()
+    apply_cpu_flag(a)
 
     import numpy as np
 
