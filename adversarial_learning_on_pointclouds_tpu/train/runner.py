@@ -55,19 +55,20 @@ def _subsample(points: np.ndarray, num_points: int, seed: int) -> np.ndarray:
     return points[:, idx]
 
 
-def _modelnet_arrays(cfg) -> Tuple[np.ndarray, np.ndarray,
-                                   np.ndarray, np.ndarray]:
+def _modelnet_arrays(cfg, eval_split: str = "test") -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Train arrays keep the full source resolution when ``cfg.resample``
     (the jitted step draws a fresh fixed-N subsample per batch, matching
-    the reference's per-``__getitem__`` ``np.random.choice``); the test
-    split is prepared deterministically on the host — normalize over the
-    full point set, then one seeded subsample."""
+    the reference's per-``__getitem__`` ``np.random.choice``); the eval
+    split (``test`` default; eval CLIs expose ``--split``) is prepared
+    deterministically on the host — normalize over the full point set,
+    then one seeded subsample."""
     root = cfg.dataset
     if not root:
         root = os.path.join(tempfile.gettempdir(), "pointtpu_modelnet40")
         if not os.path.exists(os.path.join(root, "train_files.txt")):
             make_synthetic_modelnet_h5(root)
-    train, test = ModelNet40(root, "train"), ModelNet40(root, "test")
+    train, test = ModelNet40(root, "train"), ModelNet40(root, eval_split)
 
     x_tr = train.points
     if not cfg.resample:
@@ -79,7 +80,7 @@ def _modelnet_arrays(cfg) -> Tuple[np.ndarray, np.ndarray,
     return x_tr, train.labels, x_te, test.labels
 
 
-def _shapenet_arrays(cfg):
+def _shapenet_arrays(cfg, eval_split: str = "test"):
     root = cfg.dataset
     if not root:
         root = os.path.join(tempfile.gettempdir(), "pointtpu_shapenet")
@@ -88,8 +89,10 @@ def _shapenet_arrays(cfg):
                                     num_points=cfg.num_points)
     train = ShapeNetPart(root, "train", class_choice=cfg.class_choice)
     try:
-        test = ShapeNetPart(root, "test", class_choice=cfg.class_choice)
+        test = ShapeNetPart(root, eval_split, class_choice=cfg.class_choice)
     except (FileNotFoundError, OSError):
+        if eval_split != "test":
+            raise  # an explicitly requested --split must exist
         test = train
     if cfg.resample:
         # Rectangular pool at (at least) source resolution; the jitted

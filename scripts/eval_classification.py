@@ -12,8 +12,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", type=str, required=True,
-                   help="checkpoint dir (as written by training)")
+                   help="checkpoint dir (as written by training) or a "
+                        "reference-format .pth state_dict")
     p.add_argument("--dataset", type=str, default="")
+    p.add_argument("--split", type=str, default="test",
+                   choices=("test", "val", "train"),
+                   help="which split to evaluate (the split's "
+                        "{split}_files.txt must exist)")
     p.add_argument("--batchSize", type=int, default=32)
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--feature_transform", action="store_true")
@@ -34,9 +39,11 @@ def main():
     cfg = ClassifyConfig(batch_size=a.batchSize, num_points=a.num_points,
                          dataset=a.dataset,
                          feature_transform=a.feature_transform)
-    _, _, x_te, y_te = runner._modelnet_arrays(cfg)
+    _, _, x_te, y_te = runner._modelnet_arrays(cfg, eval_split=a.split)
     state = classify.create_state(cfg, steps_per_epoch=1)
-    state = checkpoint.restore(a.model, state)
+    # load_params_only: eval needs params+BN only, and it accepts both
+    # orbax dirs and reference .pth files.
+    state = checkpoint.load_params_only(a.model, state)
     with use_pallas(not a.no_pallas):
         ev = eval_lib.evaluate_classifier(
             state.params, state.bn_state, x_te, y_te, cfg.batch_size,

@@ -13,8 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--model", type=str, required=True,
+                   help="checkpoint dir (as written by training) or a "
+                        "reference-format .pth state_dict")
     p.add_argument("--dataset", type=str, default="")
+    p.add_argument("--split", type=str, default="test",
+                   choices=("test", "val", "train"),
+                   help="which split to evaluate (the split's files must "
+                        "exist in the dataset layout)")
     p.add_argument("--batchSize", type=int, default=32)
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--class_choice", type=str, default=None)
@@ -44,17 +50,22 @@ def main():
         cfg = AdversarialConfig(batch_size=a.batchSize,
                                 num_points=a.num_points, dataset=a.dataset,
                                 class_choice=a.class_choice)
-        state = adversarial.create_state(cfg, steps_per_epoch=1)
-        state = checkpoint.restore(a.model, state)
-        params, bn_state = state.g_params, state.g_bn_state
+        # Generator subtree only: restores --d_geometry checkpoints
+        # (wider D input) although eval never touches D (ADVICE r3).
+        sub = checkpoint.restore_fields(
+            a.model, adversarial.create_state(cfg, steps_per_epoch=1),
+            ("g_params", "g_bn_state"))
+        params, bn_state = sub["g_params"], sub["g_bn_state"]
     else:
         cfg = SegmentConfig(batch_size=a.batchSize, num_points=a.num_points,
                             dataset=a.dataset, class_choice=a.class_choice)
         state = segment.create_state(cfg, steps_per_epoch=1)
-        state = checkpoint.restore(a.model, state)
+        # load_params_only: eval needs params+BN only, and it accepts both
+        # orbax dirs and reference .pth files.
+        state = checkpoint.load_params_only(a.model, state)
         params, bn_state = state.params, state.bn_state
 
-    _, (x_te, s_te, c_te) = runner._shapenet_arrays(cfg)
+    _, (x_te, s_te, c_te) = runner._shapenet_arrays(cfg, eval_split=a.split)
     with use_pallas(not a.no_pallas):
         ev, table = eval_lib.evaluate_segmenter(
             params, bn_state, x_te, s_te, c_te, cfg.batch_size)

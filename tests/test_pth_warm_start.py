@@ -197,3 +197,53 @@ def test_runner_warm_starts_from_pth(modelnet_root, tmp_path):
                           quiet=True, resume=path)
     out = runner.run_classification(cfg2)["state"]
     _assert_trees_equal(out.params, src.params)
+
+
+def test_eval_cli_from_pth_and_split(modelnet_root, tmp_path, monkeypatch,
+                                     capsys):
+    """The eval CLIs accept ``--model foo.pth`` (reference checkpoint
+    format) and ``--split`` (reference eval scripts choose their split
+    file); ``--split train`` must flow through to the loader."""
+    from scripts import eval_classification
+
+    cfg = ClassifyConfig(num_points=64, num_classes=40)
+    st = classify.create_state(cfg, 1)
+    pth = str(tmp_path / "cls40.pth")
+    torch_export.save_pth(pth, torch_export.classifier_state_dict(
+        jax.device_get(st.params), jax.device_get(st.bn_state)))
+
+    monkeypatch.setattr("sys.argv", [
+        "eval_classification.py", "--model", pth, "--dataset",
+        modelnet_root, "--batchSize", "8", "--num_points", "64",
+        "--split", "train", "--no_pallas"])
+    eval_classification.main()
+    out = capsys.readouterr().out
+    assert "accuracy" in out
+
+    # A split with no files errors loudly instead of silently evaluating
+    # the test split.
+    monkeypatch.setattr("sys.argv", [
+        "eval_classification.py", "--model", pth, "--dataset",
+        modelnet_root, "--batchSize", "8", "--num_points", "64",
+        "--split", "val", "--no_pallas"])
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        eval_classification.main()
+
+
+def test_eval_segmentation_cli_from_pth_and_split(shapenet_root, tmp_path,
+                                                  monkeypatch, capsys):
+    from scripts import eval_segmentation
+
+    cfg = SegmentConfig(num_points=64)  # default 50-part global space
+    st = segment.create_state(cfg, 1)
+    pth = str(tmp_path / "seg.pth")
+    torch_export.save_pth(pth, torch_export.segmenter_state_dict(
+        jax.device_get(st.params), jax.device_get(st.bn_state)))
+
+    monkeypatch.setattr("sys.argv", [
+        "eval_segmentation.py", "--model", pth, "--dataset",
+        shapenet_root, "--batchSize", "8", "--num_points", "64",
+        "--split", "train", "--no_pallas"])
+    eval_segmentation.main()
+    out = capsys.readouterr().out
+    assert "mIoU" in out or "miou" in out
