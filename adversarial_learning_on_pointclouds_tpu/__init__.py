@@ -18,6 +18,7 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
 The short import alias ``pointtpu`` re-exports this package.
 """
 
-__version__ = "0.1.0"
+# Keep in sync with pyproject.toml [project] version.
+__version__ = "0.4.0"
 
 from adversarial_learning_on_pointclouds_tpu import configs  # noqa: F401

@@ -473,3 +473,26 @@ def test_train_giant_cloud_script(tmp_path, monkeypatch):
     assert np.isfinite(best) and 0.0 <= best <= 1.0
     from adversarial_learning_on_pointclouds_tpu.utils import checkpoint
     assert checkpoint.latest_step(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Packaging (pyproject.toml)
+# ---------------------------------------------------------------------------
+
+def test_package_version_matches_pyproject():
+    """pyproject.toml [project].version and the package __version__ must
+    stay in sync (the wheel metadata is built from pyproject)."""
+    import os
+    import tomllib
+
+    import adversarial_learning_on_pointclouds_tpu as pkg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)["project"]
+    assert meta["version"] == pkg.__version__
+    # The native C++ source must be declared as package data, or an
+    # installed wheel silently loses the fast .pts loader.
+    assert os.path.exists(os.path.join(
+        root, "adversarial_learning_on_pointclouds_tpu", "native",
+        "pts_loader.cpp"))
