@@ -240,10 +240,12 @@ def test_eval_segmentation_cli_from_pth_and_split(shapenet_root, tmp_path,
     torch_export.save_pth(pth, torch_export.segmenter_state_dict(
         jax.device_get(st.params), jax.device_get(st.bn_state)))
 
+    # The synthetic ShapeNet fixture ships all three reference splits
+    # (train/val/test); --split val must reach the loader.
     monkeypatch.setattr("sys.argv", [
         "eval_segmentation.py", "--model", pth, "--dataset",
         shapenet_root, "--batchSize", "8", "--num_points", "64",
-        "--split", "train", "--no_pallas"])
+        "--split", "val", "--no_pallas"])
     eval_segmentation.main()
     out = capsys.readouterr().out
     assert "mIoU" in out or "miou" in out
