@@ -101,9 +101,12 @@ def main() -> None:
                         "(amortizes dispatch; the runner's --scan mode; "
                         "0 = one step per launch)")
     p.add_argument("--verbose", action="store_true")
-    p.add_argument("--backend_wait_s", type=float, default=1800.0,
+    p.add_argument("--backend_wait_s", type=float, default=3600.0,
                    help="how long to wait for a wedged accelerator "
-                        "backend to recover before failing (0 = no wait)")
+                        "backend to recover before failing (0 = no wait); "
+                        "default 1 h — round-4 observed a >7 h wedge, and "
+                        "a failed driver bench costs the whole round's "
+                        "headline number")
     args = p.parse_args()
 
     if args.paired_trunks and (not args.paired_heads or args.fused_forward):
