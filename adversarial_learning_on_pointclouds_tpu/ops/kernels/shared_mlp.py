@@ -22,7 +22,9 @@ Mosaic's internal padding (3, 50, 64 … are all legal).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -30,8 +32,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_force = threading.local()
+
+
+@contextlib.contextmanager
+def force_compiled(enabled: bool = True):
+    """Force REAL Mosaic lowering regardless of the local backend.
+
+    ``_interpret()`` keys off ``jax.default_backend()`` so the CPU test
+    suite runs every kernel in interpreter mode — but that heuristic is
+    wrong for CROSS-LOWERING: a CPU host exporting a serving artifact
+    for ``platforms=('tpu',)`` (utils/serving.py ``use_pallas_kernels``)
+    must emit the actual ``tpu_custom_call``s, not the interpreted
+    emulation graph. Trace-time flag: wrap the export/lowering call."""
+    prev = getattr(_force, "on", False)
+    _force.on = enabled
+    try:
+        yield
+    finally:
+        _force.on = prev
+
 
 def _interpret() -> bool:
+    if getattr(_force, "on", False):
+        return False
     return jax.default_backend() == "cpu"
 
 

@@ -11,14 +11,18 @@ side, and the artifact recompiles onto whatever hardware it lands on.
 
 Two deliberate choices:
 
-- Exports ride the XLA path (``dispatch.use_pallas(False)``): Mosaic
-  custom calls would pin the artifact to the exact TPU generation and
-  refuse other backends, while the XLA path lowers to pure StableHLO
-  that retargets any listed platform at load time. The fused Pallas
-  inference megakernels stay a live-process optimization (their ~1.3×
-  is a same-process win; an exported artifact's consumer recompiles for
-  its own hardware anyway, and XLA refuses a multi-platform lowering
-  that contains platform-locked custom calls).
+- Exports ride the XLA path (``dispatch.use_pallas(False)``) by
+  default: Mosaic custom calls would pin the artifact to the exact TPU
+  generation and refuse other backends, while the XLA path lowers to
+  pure StableHLO that retargets any listed platform at load time, and
+  XLA refuses a multi-platform lowering that contains platform-locked
+  custom calls. ``use_pallas_kernels=True`` opts a TPU-ONLY artifact
+  (``platforms=('tpu',)`` required) into the fused Pallas inference
+  megakernels (~1.3× eval on v5e, `scripts/tpu_kernel_check.py`) —
+  the Mosaic lowering is forced even when the exporting host is a CPU
+  machine (``kernels.shared_mlp.force_compiled``), and
+  ``tpu_custom_call`` is on ``jax.export``'s stable-custom-call list so
+  the artifact serializes under the default safety checks.
 - The batch dimension is SYMBOLIC by default (``"b"``): one artifact
   serves every batch size. The point count stays static — the models
   pool over it, and serving-side resampling to the training N is the
@@ -42,7 +46,9 @@ DEFAULT_PLATFORMS: Tuple[str, ...] = ("cpu", "tpu")
 def _export_pointcloud_fn(fn, num_points: int,
                           batch: Optional[int],
                           platforms: Sequence[str],
-                          bf16: bool = False) -> jexport.Exported:
+                          bf16: bool = False,
+                          use_pallas_kernels: bool = False,
+                          ) -> jexport.Exported:
     """Export ``fn(x: [b, num_points, 3]) -> outputs`` with a symbolic
     batch dim (``batch=None``) or a pinned one.
 
@@ -54,6 +60,16 @@ def _export_pointcloud_fn(fn, num_points: int,
     from adversarial_learning_on_pointclouds_tpu.models.core import (
         mixed_precision,
     )
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
+        force_compiled,
+    )
+
+    platforms = tuple(platforms)
+    if use_pallas_kernels and platforms != ("tpu",):
+        raise ValueError(
+            "use_pallas_kernels pins the artifact to Mosaic custom calls; "
+            f"export with platforms=('tpu',), not {platforms!r} (the "
+            "multi-platform default must stay pure StableHLO)")
 
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
@@ -62,19 +78,25 @@ def _export_pointcloud_fn(fn, num_points: int,
     spec = jax.ShapeDtypeStruct((b, num_points, 3), jnp.float32)
 
     def wrapped(x):
-        # Serving artifacts are platform-portable: force the XLA path
-        # regardless of the exporting process's dispatch state.
-        with dispatch.use_pallas(False), mixed_precision(enabled=bf16):
+        # Default: platform-portable artifact — force the XLA path
+        # regardless of the exporting process's dispatch state. Opt-in:
+        # TPU-only artifact with the fused inference megakernels; the
+        # Mosaic lowering is forced so a CPU export host does not fall
+        # into interpreter mode (which would silently bake the emulation
+        # graph into the artifact).
+        with dispatch.use_pallas(use_pallas_kernels), \
+                force_compiled(use_pallas_kernels), \
+                mixed_precision(enabled=bf16):
             return fn(x)
 
-    return jexport.export(jax.jit(wrapped),
-                          platforms=tuple(platforms))(spec)
+    return jexport.export(jax.jit(wrapped), platforms=platforms)(spec)
 
 
 def export_classifier(params, bn_state, num_points: int = 1024,
                       batch: Optional[int] = None,
                       platforms: Sequence[str] = DEFAULT_PLATFORMS,
-                      bf16: bool = False) -> jexport.Exported:
+                      bf16: bool = False,
+                      use_pallas_kernels: bool = False) -> jexport.Exported:
     """Eval-mode classifier forward ``x [b, N, 3] -> log_probs [b, k]``
     with ``params``/``bn_state`` (running statistics) baked in as
     constants."""
@@ -86,13 +108,15 @@ def export_classifier(params, bn_state, num_points: int = 1024,
         logp, _, _, _ = apply_classifier(params, bn_state, x, train=False)
         return logp
 
-    return _export_pointcloud_fn(fwd, num_points, batch, platforms, bf16)
+    return _export_pointcloud_fn(fwd, num_points, batch, platforms, bf16,
+                                 use_pallas_kernels)
 
 
 def export_segmenter(params, bn_state, num_points: int = 2500,
                      batch: Optional[int] = None,
                      platforms: Sequence[str] = DEFAULT_PLATFORMS,
-                     bf16: bool = False) -> jexport.Exported:
+                     bf16: bool = False,
+                     use_pallas_kernels: bool = False) -> jexport.Exported:
     """Eval-mode segmenter forward ``x [b, N, 3] -> log_probs [b, N, k]``
     (the adversarial trainer's G serves through this too — its generator
     IS the segmenter, ``state.g_params``/``state.g_bn_state``)."""
@@ -104,7 +128,8 @@ def export_segmenter(params, bn_state, num_points: int = 2500,
         logp, _, _, _ = apply_segmenter(params, bn_state, x, train=False)
         return logp
 
-    return _export_pointcloud_fn(fwd, num_points, batch, platforms, bf16)
+    return _export_pointcloud_fn(fwd, num_points, batch, platforms, bf16,
+                                 use_pallas_kernels)
 
 
 def save_exported(exp: jexport.Exported, path: str) -> None:

@@ -41,6 +41,10 @@ def main():
                         "serves every batch size)")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--pallas", action="store_true",
+                   help="TPU-only artifact with the fused Pallas "
+                        "inference megakernels baked in (~1.3x eval on "
+                        "v5e); requires --platforms tpu")
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="deserialize the written artifact and compare "
@@ -65,6 +69,9 @@ def main():
     )
 
     platforms = tuple(s.strip() for s in a.platforms.split(",") if s.strip())
+    if a.pallas and platforms != ("tpu",):
+        p.error("--pallas pins the artifact to Mosaic custom calls: "
+                "pass --platforms tpu")
     batch = a.batch or None
     if a.model == "cls":
         npts = a.num_points or 1024
@@ -73,7 +80,8 @@ def main():
         state = checkpoint.restore(
             a.checkpoint, classify.create_state(cfg, steps_per_epoch=1))
         params, bn = state.params, state.bn_state
-        exp = serving.export_classifier(params, bn, npts, batch, platforms)
+        exp = serving.export_classifier(params, bn, npts, batch, platforms,
+                                use_pallas_kernels=a.pallas)
     elif a.model == "seg":
         npts = a.num_points or 2500
         cfg = SegmentConfig(num_points=npts, num_parts=a.num_parts,
@@ -81,7 +89,8 @@ def main():
         state = checkpoint.restore(
             a.checkpoint, segment.create_state(cfg, steps_per_epoch=1))
         params, bn = state.params, state.bn_state
-        exp = serving.export_segmenter(params, bn, npts, batch, platforms)
+        exp = serving.export_segmenter(params, bn, npts, batch, platforms,
+                                       use_pallas_kernels=a.pallas)
     else:
         npts = a.num_points or 2500
         cfg = AdversarialConfig(num_points=npts, num_parts=a.num_parts,
@@ -89,7 +98,8 @@ def main():
         state = checkpoint.restore(
             a.checkpoint, adversarial.create_state(cfg, steps_per_epoch=1))
         params, bn = state.g_params, state.g_bn_state
-        exp = serving.export_segmenter(params, bn, npts, batch, platforms)
+        exp = serving.export_segmenter(params, bn, npts, batch, platforms,
+                                       use_pallas_kernels=a.pallas)
 
     serving.save_exported(exp, a.out)
     print(f"wrote {a.out} ({os.path.getsize(a.out) / 1e6:.1f} MB, "
@@ -97,8 +107,15 @@ def main():
           f"{'symbolic' if batch is None else batch}, N={npts})")
 
     if a.verify:
+        import jax
+
         from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
 
+        if jax.default_backend() not in platforms:
+            raise SystemExit(
+                f"--verify needs a backend in {platforms} to execute the "
+                f"artifact (running on {jax.default_backend()!r}); "
+                "re-run the verify on matching hardware")
         loaded = serving.load_exported(a.out)
         x = np.random.default_rng(0).standard_normal(
             (batch or 4, npts, 3)).astype(np.float32)

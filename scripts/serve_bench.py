@@ -70,12 +70,22 @@ def main():
     x = np.random.default_rng(0).standard_normal(
         (a.batch, a.num_points, 3)).astype(np.float32)
     plats = (jax.devices()[0].platform,)
-    rows = []
-    for name, art in (
+    arts = [
         ("artifact fp32", export(params, bn, a.num_points, a.batch, plats)),
         ("artifact bf16", export(params, bn, a.num_points, a.batch, plats,
                                  bf16=True)),
-    ):
+    ]
+    if plats == ("tpu",):
+        # TPU-pinned artifact with the Mosaic megakernels baked in
+        # (export_serving.py --pallas).
+        arts.append(("artifact pallas fp32",
+                     export(params, bn, a.num_points, a.batch, plats,
+                            use_pallas_kernels=True)))
+        arts.append(("artifact pallas bf16",
+                     export(params, bn, a.num_points, a.batch, plats,
+                            bf16=True, use_pallas_kernels=True)))
+    rows = []
+    for name, art in arts:
         dt = _time(art.call, x, a.iters)
         rows.append((name, dt))
 

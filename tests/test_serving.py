@@ -221,3 +221,47 @@ def test_export_precision_is_pinned_not_ambient(tmp_path):
     got16 = np.asarray(exp16.call(x))
     assert not np.allclose(got16, want, rtol=0, atol=1e-6)  # really bf16
     np.testing.assert_allclose(got16, want, rtol=0, atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# TPU-pinned Pallas artifact (use_pallas_kernels) — structural CPU checks;
+# on-chip execution parity lives in tests/test_tpu_kernels.py.
+# ---------------------------------------------------------------------------
+
+def test_pallas_export_emits_mosaic_and_serializes():
+    """Exporting with use_pallas_kernels=True from this CPU host must
+    force the REAL Mosaic lowering (kernels otherwise drop to
+    interpreter mode on cpu backends and would silently bake the
+    emulation graph in) and still serialize under jax.export's default
+    custom-call safety checks (tpu_custom_call is allowlisted)."""
+    st = _cls_state()
+    art = serving.export_classifier(st.params, st.bn_state, N,
+                                    platforms=("tpu",),
+                                    use_pallas_kernels=True)
+    assert art.mlir_module().count("tpu_custom_call") > 0
+    blob = art.serialize()
+    assert len(blob) > 0
+    # The default multi-platform export stays pure StableHLO.
+    portable = serving.export_classifier(st.params, st.bn_state, N)
+    assert "tpu_custom_call" not in portable.mlir_module()
+
+
+def test_pallas_export_requires_tpu_only_platforms():
+    st = _cls_state()
+    with pytest.raises(ValueError, match="platforms"):
+        serving.export_classifier(st.params, st.bn_state, N,
+                                  platforms=("cpu", "tpu"),
+                                  use_pallas_kernels=True)
+
+
+def test_export_serving_cli_pallas_guard(tmp_path, monkeypatch):
+    """--pallas without --platforms tpu is a CLI error (SystemExit 2)."""
+    import sys
+
+    from scripts import export_serving
+
+    monkeypatch.setattr(sys, "argv", [
+        "export_serving.py", "--model", "cls", "--checkpoint", "x",
+        "--out", str(tmp_path / "a.shlo"), "--pallas"])
+    with pytest.raises(SystemExit):
+        export_serving.main()

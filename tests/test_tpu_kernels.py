@@ -100,3 +100,38 @@ def test_ref_npoints_compiled():
 def test_disc_geometry_width_compiled():
     from scripts.tpu_kernel_check import check_disc_geometry_width
     check_disc_geometry_width()
+
+
+def test_pallas_serving_artifact_executes_on_tpu():
+    """The TPU-pinned Pallas serving artifact (use_pallas_kernels=True):
+    the Mosaic custom calls inside a deserialized jax.export artifact
+    must execute on the chip and match the live XLA path — the opt-in
+    fast-serving half of the export story (export_serving.py --pallas).
+    Symbolic batch: ONE artifact must serve two batch sizes."""
+    import numpy as np
+
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        SegmentConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.models import segmenter
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+    from adversarial_learning_on_pointclouds_tpu.train import segment
+    from adversarial_learning_on_pointclouds_tpu.utils import serving
+
+    n = 64
+    cfg = SegmentConfig(num_points=n, num_parts=11, feature_transform=True)
+    st = segment.create_state(cfg, 1)
+    art = serving.export_segmenter(st.params, st.bn_state, n,
+                                   platforms=("tpu",),
+                                   use_pallas_kernels=True)
+    assert art.mlir_module().count("tpu_custom_call") > 0
+    import jax.export as jexport
+    loaded = jexport.deserialize(bytearray(art.serialize()))
+    rng = np.random.default_rng(0)
+    for b in (4, 8):
+        x = rng.standard_normal((b, n, 3)).astype(np.float32)
+        got = np.asarray(loaded.call(x))
+        with use_pallas(False):
+            want = np.asarray(segmenter.apply_segmenter(
+                st.params, st.bn_state, x, train=False)[0])
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
