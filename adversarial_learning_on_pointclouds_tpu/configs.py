@@ -84,13 +84,17 @@ class BaseConfig:
     num_devices: int = 0          # 0 -> all visible devices (DP mesh)
     profile_dir: Optional[str] = None  # --profile_dir (jax.profiler trace)
     quiet: bool = False           # --quiet (stdout parity mode)
-    ckpt_policy: str = "every"    # --ckpt_policy {every,latest,none}:
+    ckpt_policy: str = "every"    # --ckpt_policy {every,latest,best,none}:
                                   #   "every" saves each epoch (reference
                                   #   semantics; backpressures when the
                                   #   ~2 s orbax write outlasts an
                                   #   epoch); "latest" skips stale
                                   #   snapshots under backpressure (the
                                   #   final epoch is always durable);
+                                  #   "best" saves only epochs that
+                                  #   improve the eval metric (newest
+                                  #   ckpt on disk == best epoch, so
+                                  #   restore(step=None) loads it);
                                   #   "none" disables checkpointing
                                   #   (ablation sweeps)
     log_lag: int = 2              # --log_lag: defer per-step metric
@@ -306,12 +310,14 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace here")
     p.add_argument("--quiet", action="store_true", help="reference-style stdout only")
     p.add_argument("--ckpt_policy", type=str, default="every",
-                   choices=("every", "latest", "none"),
+                   choices=("every", "latest", "best", "none"),
                    help="'every' saves each epoch (reference semantics); "
                         "'latest' skips stale snapshots when epochs "
                         "outpace the async checkpoint writer (final "
-                        "epoch always durable); 'none' disables "
-                        "checkpointing (ablation sweeps)")
+                        "epoch always durable); 'best' saves only "
+                        "epochs that improve the eval metric (the "
+                        "newest checkpoint on disk is the best epoch); "
+                        "'none' disables checkpointing (ablation sweeps)")
     p.add_argument("--log_lag", type=int, default=2,
                    help="defer per-step metric readbacks this many "
                         "launches (overlaps device execution); 0 = "

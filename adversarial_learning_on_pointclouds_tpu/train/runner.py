@@ -266,7 +266,7 @@ def run_classification(cfg: ClassifyConfig,
                           cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state, metric=ev["accuracy"])
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -323,7 +323,8 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                                  c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state,
+                       metric=ev["instance_miou"])
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()
@@ -413,7 +414,8 @@ def run_adversarial(cfg: AdversarialConfig,
                     ev_outs, s_te, c_te, te_mask)
                 best = max(best, ev["instance_miou"])
                 t2 = time.perf_counter()
-                saver.save(cfg.out_dir, epoch, state)
+                saver.save(cfg.out_dir, epoch, state,
+                           metric=ev["instance_miou"])
                 t3 = time.perf_counter()
                 logger.log_epoch(epoch, **ev, train_s=t1 - t0,
                                  eval_s=t2 - t1, ckpt_s=t3 - t2)
@@ -469,7 +471,8 @@ def run_adversarial(cfg: AdversarialConfig,
                              c_te, cfg.batch_size))
             best = max(best, ev["instance_miou"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state,
+                       metric=ev["instance_miou"])
             t3 = time.perf_counter()
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=t3 - t2)
@@ -528,7 +531,7 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                           cfg.batch_size, cfg.num_classes))
             best = max(best, ev["accuracy"])
             t2 = time.perf_counter()
-            saver.save(cfg.out_dir, epoch, state)
+            saver.save(cfg.out_dir, epoch, state, metric=ev["accuracy"])
             logger.log_epoch(epoch, **ev, train_s=t1 - t0, eval_s=t2 - t1,
                              ckpt_s=time.perf_counter() - t2)
     logger.close()

@@ -58,13 +58,23 @@ class AsyncSaver:
       up with, intermediate epochs may be skipped. The FINAL state is
       always durable either way (``close()`` enqueues behind any
       pending item and drains before returning).
+    - ``"best"`` (model-selection mode): save only when the caller's
+      ``metric`` improves on the best seen so far (callers pass the
+      epoch's eval accuracy/mIoU). The newest checkpoint on disk is
+      therefore the best-metric epoch — which is exactly what
+      ``restore(step=None)`` loads. Unlike every/latest the FINAL epoch
+      is not necessarily durable; that is the point of the policy.
+      A ``save()`` without a metric is unconditional (explicit final
+      saves remain possible).
     - ``"none"`` (sweep mode): ``save()`` is a no-op."""
 
     def __init__(self, policy: str = "every") -> None:
-        assert policy in ("every", "latest", "none"), policy
+        assert policy in ("every", "latest", "none", "best"), policy
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._skip = policy == "latest"
         self._off = policy == "none"
+        self._best = policy == "best"
+        self._best_metric: Optional[float] = None
         self._err: Optional[BaseException] = None
         # Sticky record: set the first time ANY write fails and never
         # cleared, so close() re-surfaces the failure even if a caller
@@ -95,9 +105,17 @@ class AsyncSaver:
             finally:
                 self._q.task_done()
 
-    def save(self, ckpt_dir: str, step: int, state: Any) -> None:
+    def save(self, ckpt_dir: str, step: int, state: Any,
+             metric: Optional[float] = None) -> None:
+        """Enqueue a checkpoint write. ``metric`` (higher = better) only
+        matters under the ``best`` policy; other policies ignore it."""
         if self._off:
             return
+        if self._best and metric is not None:
+            if (self._best_metric is not None
+                    and metric <= self._best_metric):
+                return
+            self._best_metric = float(metric)
         if self._err is not None:
             err, self._err = self._err, None  # raise once, not forever
             raise err

@@ -113,7 +113,7 @@ def main():
         print(__doc__)
         sys.exit(1)
     if merge:
-        cfg, runs = None, []
+        cfg, runs, ratios = None, [], []
         for arg in args:
             _, _, path = arg.rpartition("=")
             c, r, _ = _load(path or arg)
@@ -121,9 +121,16 @@ def main():
             # refuse to merge artifacts whose configs differ on anything
             # but the seed window (silent cross-protocol pooling is the
             # manufactured-fake-delta failure the round-3 notes warn of).
+            # ``ratios`` is exempt: every run records its own ratio and a
+            # table row pools only runs AT that ratio, so an artifact
+            # that extends seeds at a subset of the ratios (e.g. only the
+            # informative one) merges soundly — its rows just carry a
+            # larger N than the others.
             if c is not None:
+                ratios.extend(v for v in c.get("ratios", ())
+                              if v not in ratios)
                 key = {k: v for k, v in c.items()
-                       if k not in ("seeds", "seed_base")}
+                       if k not in ("seeds", "seed_base", "ratios")}
                 if cfg is None:
                     cfg = key
                 elif key != cfg:
@@ -143,7 +150,8 @@ def main():
         seeds = sorted({r.get("seed") for r in runs},
                        key=lambda s: (s is None, s))
         if cfg is not None:
-            cfg = dict(cfg, seeds=len(seeds))
+            cfg = dict(cfg, seeds=len(seeds),
+                       ratios=sorted(ratios))  # union across artifacts
         digest(f"POOLED ({len(args)} artifacts, seeds {seeds})", None,
                pooled_runs=runs, pooled_cfg=cfg)
         return

@@ -167,7 +167,7 @@ def main():
             loss=float(m["loss"]),
             train_s=round(train_s, 3),
             eval_s=round(time.perf_counter() - t0 - train_s, 3))
-        saver.save(cfg.out_dir, epoch, state)
+        saver.save(cfg.out_dir, epoch, state, metric=miou)
     saver.close()  # drains: the final epoch is durable before returning
     logger.close()
     print(f"[giant] best instance mIoU {best:.4f}")

@@ -170,6 +170,48 @@ def test_async_saver_clean_close_no_sticky(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# AsyncSaver 'best' policy: model selection via metric-gated saves
+# ---------------------------------------------------------------------------
+
+def test_async_saver_best_policy(tmp_path, monkeypatch):
+    """'best' saves only metric-improving epochs, so latest_step() (what
+    restore(step=None) resolves) is the best-metric epoch; a metric-less
+    save stays unconditional (explicit final saves)."""
+    written = []
+    monkeypatch.setattr(checkpoint, "save",
+                        lambda d, step, state: written.append(step))
+    mious = [0.10, 0.30, 0.20, 0.45, 0.45, 0.40]  # best at epoch 3
+    with checkpoint.AsyncSaver(policy="best") as saver:
+        for epoch, m in enumerate(mious):
+            saver.save(str(tmp_path), epoch, {"w": epoch}, metric=m)
+    assert written == [0, 1, 3], written  # improvements only; ties skip
+
+    written.clear()
+    with checkpoint.AsyncSaver(policy="best") as saver:
+        saver.save(str(tmp_path), 0, {"w": 0}, metric=0.9)
+        saver.save(str(tmp_path), 1, {"w": 1}, metric=0.1)  # worse: skip
+        saver.save(str(tmp_path), 2, {"w": 2})  # no metric: unconditional
+    assert written == [0, 2], written
+
+
+def test_async_saver_best_restore_latest_is_best(tmp_path):
+    """End-to-end through real orbax writes: under 'best', the newest
+    checkpoint dir is the best epoch and restore(step=None) loads it."""
+    d = str(tmp_path / "best")
+    with checkpoint.AsyncSaver(policy="best") as saver:
+        for epoch, m in enumerate([0.2, 0.6, 0.3]):
+            saver.save(d, epoch, {"w": np.full(3, float(epoch))}, metric=m)
+    assert checkpoint.latest_step(d) == 1
+    got = checkpoint.restore(d, {"w": jnp.zeros(3)})
+    np.testing.assert_allclose(np.asarray(got["w"]), 1.0)
+
+
+def test_ckpt_policy_best_cli():
+    cfg = adversarial_config_from_args(["--ckpt_policy", "best"])
+    assert cfg.ckpt_policy == "best"
+
+
+# ---------------------------------------------------------------------------
 # Ablation sweep resume: completed cells are never re-run after a crash
 # ---------------------------------------------------------------------------
 
