@@ -305,6 +305,27 @@ def load_pth_warm_start(path: str, state_like: Any) -> Any:
         bn_state=jax.tree_util.tree_map(cast, state_like.bn_state, bn))
 
 
+def load_pth_generator(path: str, gan_state_like: Any):
+    """Reference segmenter ``.pth`` -> ``(g_params, g_bn_state)`` checked
+    against a GAN train-state template's generator subtree.
+
+    The generator-only twin of ``restore_fields``'s adv-inference path:
+    D is never touched, so a template whose D differs from the
+    checkpoint's training options (``--d_geometry``) cannot block the
+    load — but the GENERATOR trees are still validated, so a ``.pth``
+    trained with a different ``--num_parts``/``--feature_transform``
+    fails with the readable template error instead of a shape error at
+    apply time."""
+    from . import torch_import as ti
+
+    params, bn = ti.segmenter_from_state_dict(ti.load_pth(path))
+    _pth_tree_check("generator", params, gan_state_like.g_params)
+    _pth_tree_check("generator BN", bn, gan_state_like.g_bn_state)
+    cast = lambda like, val: jax.numpy.asarray(val, dtype=like.dtype)  # noqa: E731
+    return (jax.tree_util.tree_map(cast, gan_state_like.g_params, params),
+            jax.tree_util.tree_map(cast, gan_state_like.g_bn_state, bn))
+
+
 def load_params_only(ckpt_dir: str, state_like: Any,
                      step: Optional[int] = None) -> Any:
     """Reference-compat resume: take params + BN stats from the

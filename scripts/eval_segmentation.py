@@ -52,10 +52,14 @@ def main():
                                 class_choice=a.class_choice)
         # Generator subtree only: restores --d_geometry checkpoints
         # (wider D input) although eval never touches D (ADVICE r3).
-        sub = checkpoint.restore_fields(
-            a.model, adversarial.create_state(cfg, steps_per_epoch=1),
-            ("g_params", "g_bn_state"))
-        params, bn_state = sub["g_params"], sub["g_bn_state"]
+        # A reference .pth loads its G weights the same way.
+        tmpl = adversarial.create_state(cfg, steps_per_epoch=1)
+        if a.model.endswith(".pth"):
+            params, bn_state = checkpoint.load_pth_generator(a.model, tmpl)
+        else:
+            sub = checkpoint.restore_fields(
+                a.model, tmpl, ("g_params", "g_bn_state"))
+            params, bn_state = sub["g_params"], sub["g_bn_state"]
     else:
         cfg = SegmentConfig(batch_size=a.batchSize, num_points=a.num_points,
                             dataset=a.dataset, class_choice=a.class_choice)

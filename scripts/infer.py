@@ -145,11 +145,10 @@ def main():
                     # G weights only — a reference adversarial run saves
                     # G and D as separate .pth files and inference never
                     # touches D (so a --d_geometry companion can't block
-                    # the load, same rationale as the orbax branch).
-                    from adversarial_learning_on_pointclouds_tpu.utils \
-                        import torch_import
-                    params, bn = torch_import.segmenter_from_state_dict(
-                        torch_import.load_pth(a.checkpoint))
+                    # the load, same rationale as the orbax branch); the
+                    # generator trees ARE template-checked.
+                    params, bn = checkpoint.load_pth_generator(
+                        a.checkpoint, adversarial.create_state(cfg, 1))
                 else:
                     # Generator subtree only: a full-state restore would
                     # also force the D template to match, which fails for

@@ -101,6 +101,29 @@ def test_adversarial_pth_warm_start(tmp_path):
     _assert_trees_equal(out2.d_params, src.d_params)
 
 
+def test_load_pth_generator_checked(tmp_path):
+    """The generator-only .pth loader (adv inference/eval path) returns
+    checked (g_params, g_bn_state) and rejects a template mismatch with
+    the readable error instead of a later apply-time shape error."""
+    cfg = AdversarialConfig(num_points=64, num_parts=11,
+                            feature_transform=True)
+    src = adversarial.create_state(cfg, 4, rng=jax.random.PRNGKey(9))
+    path = str(tmp_path / "g.pth")
+    torch_export.save_pth(path, torch_export.segmenter_state_dict(
+        jax.device_get(src.g_params), jax.device_get(src.g_bn_state)))
+
+    params, bn = checkpoint.load_pth_generator(
+        path, adversarial.create_state(cfg, 4, rng=jax.random.PRNGKey(10)))
+    _assert_trees_equal(params, src.g_params)
+    _assert_trees_equal(bn, src.g_bn_state)
+
+    wrong = AdversarialConfig(num_points=64, num_parts=13,
+                              feature_transform=True)
+    with pytest.raises(ValueError, match="num_parts"):
+        checkpoint.load_pth_generator(
+            path, adversarial.create_state(wrong, 4))
+
+
 def test_pth_arch_mismatch_raises(tmp_path):
     seg_cfg = SegmentConfig(num_points=64, num_parts=11)
     seg_state = segment.create_state(seg_cfg, 4)
@@ -246,6 +269,17 @@ def test_eval_segmentation_cli_from_pth_and_split(shapenet_root, tmp_path,
         "eval_segmentation.py", "--model", pth, "--dataset",
         shapenet_root, "--batchSize", "8", "--num_points", "64",
         "--split", "val", "--no_pallas"])
+    eval_segmentation.main()
+    out = capsys.readouterr().out
+    assert "mIoU" in out or "miou" in out
+
+    # --adversarial accepts the same .pth: the G weights load through
+    # load_pth_generator (a reference adversarial run checkpoints its
+    # segmenter-G in the plain segmenter format).
+    monkeypatch.setattr("sys.argv", [
+        "eval_segmentation.py", "--model", pth, "--dataset",
+        shapenet_root, "--batchSize", "8", "--num_points", "64",
+        "--adversarial", "--no_pallas"])
     eval_segmentation.main()
     out = capsys.readouterr().out
     assert "mIoU" in out or "miou" in out
