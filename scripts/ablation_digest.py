@@ -54,6 +54,17 @@ def _cells(runs, modes, ratio):
     return cell
 
 
+def _sign_test_p(pos: int, n: int) -> float:
+    """Exact two-sided sign test: P(#positive as or more extreme than
+    ``pos`` | fair coin, n trials). Zero deltas should be excluded by
+    the caller (here: mIoU deltas are continuous, ties don't occur)."""
+    from math import comb
+
+    k = max(pos, n - pos)
+    tail = sum(comb(n, i) for i in range(k, n + 1)) / 2.0 ** n
+    return min(1.0, 2.0 * tail)
+
+
 def _paired(a, b):
     d = [x - y for x, y in zip(a, b)]
     se = float(np.std(d) / max(len(d) - 1, 1) ** 0.5)
@@ -96,11 +107,14 @@ def digest(label, path, pooled_runs=None, pooled_cfg=None):
         cols = " | ".join(
             f"{np.mean(c[m]):.4f} ± {np.std(c[m]):.4f}" for m in modes)
         base = modes[0]
-        ds = "; ".join(
-            f"{m}−{base}: {_paired(c[m], c[base])[0]:+.4f} ± "
-            f"{_paired(c[m], c[base])[1]:.4f} "
-            f"({_paired(c[m], c[base])[2]}/{_paired(c[m], c[base])[3]}+)"
-            for m in modes[1:] if len(c[m]) == len(c[base]))
+        parts = []
+        for m in modes[1:]:
+            if len(c.get(m, ())) != len(c[base]):
+                continue
+            mean, se, pos, n = _paired(c[m], c[base])
+            parts.append(f"{m}−{base}: {mean:+.4f} ± {se:.4f} "
+                         f"({pos}/{n}+, p={_sign_test_p(pos, n):.2f})")
+        ds = "; ".join(parts)
         print(f"| {ratio} | {cols} | {ds} |")
 
 

@@ -298,7 +298,8 @@ def test_ablation_seed_base_extension_and_pooled_digest(
     dig.main()
     tbl = capsys.readouterr().out
     assert "seeds [0, 1, 2, 3]" in tbl
-    assert "+0.0200" in tbl and "(4/4+)" in tbl
+    # 4/4 positive seeds -> exact two-sided sign test p = 2/2^4 = 0.125.
+    assert "+0.0200" in tbl and "(4/4+, p=0.12)" in tbl
 
 
 # ---------------------------------------------------------------------------
