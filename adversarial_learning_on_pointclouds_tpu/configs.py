@@ -97,6 +97,13 @@ class BaseConfig:
                                   #   restore(step=None) loads it);
                                   #   "none" disables checkpointing
                                   #   (ablation sweeps)
+    eval_every: int = 1           # --eval_every K: run the eval pass (and
+                                  #   the epoch log/ckpt-selection it
+                                  #   feeds) every K-th epoch + always the
+                                  #   final one. 1 = reference semantics.
+                                  #   Sweeps are eval-dominated (cluster
+                                  #   ablation cells: eval_s ~60x train_s
+                                  #   on CPU), so K is the cheap knob.
     log_lag: int = 2              # --log_lag: defer per-step metric
                                   #   readbacks N launches so they overlap
                                   #   device execution; 0 = strictly
@@ -318,6 +325,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "epochs that improve the eval metric (the "
                         "newest checkpoint on disk is the best epoch); "
                         "'none' disables checkpointing (ablation sweeps)")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="run the eval pass every K-th epoch (+ always "
+                        "the final one); epoch rows/checkpoint metric "
+                        "selection follow the eval (1 = reference "
+                        "semantics: eval every epoch)")
     p.add_argument("--log_lag", type=int, default=2,
                    help="defer per-step metric readbacks this many "
                         "launches (overlaps device execution); 0 = "
@@ -384,6 +396,7 @@ def _common_kwargs(a: argparse.Namespace, default_points: int, default_outf: str
         profile_dir=a.profile_dir,
         quiet=a.quiet,
         ckpt_policy=a.ckpt_policy,
+        eval_every=a.eval_every,
         log_lag=a.log_lag,
         workers=a.workers,
         device_data=not a.host_data,

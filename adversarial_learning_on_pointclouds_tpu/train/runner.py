@@ -174,6 +174,23 @@ def _single_net_epoch(cfg, mod, state, tx, epoch, sharding, logger, spe,
     return state, step_h
 
 
+def _eval_epoch(cfg, epoch: int, epochs: int) -> bool:
+    """``--eval_every K``: evaluate (and emit the epoch row / feed the
+    checkpoint-selection metric) on every K-th epoch and ALWAYS on the
+    final one. K=1 is the reference's eval-every-epoch. Non-eval epochs
+    skip the epoch row entirely (the epoch CSV schema is fixed by its
+    first row) and skip the save only under the ``best`` policy (which
+    cannot rank an epoch it never measured)."""
+    k = max(cfg.eval_every, 1)
+    return (epoch + 1) % k == 0 or epoch == epochs - 1
+
+
+def _skip_eval_epoch(cfg, saver, epoch, state):
+    """Bookkeeping for a skipped-eval epoch (see ``_eval_epoch``)."""
+    if cfg.ckpt_policy != "best":
+        saver.save(cfg.out_dir, epoch, state)
+
+
 def _fused_epoch_setup(cfg, n_test, spe):
     """Shared ``--fused_epoch`` preflight: validate the data mode and
     epoch plan, and build the fixed whole-test-pass eval plan
@@ -184,6 +201,10 @@ def _fused_epoch_setup(cfg, n_test, spe):
     if not cfg.device_data:
         raise ValueError("--fused_epoch needs device-resident pools "
                          "(drop --host_data)")
+    if cfg.eval_every > 1:
+        raise ValueError(
+            "--fused_epoch compiles the eval scan into every epoch's "
+            "launch; --eval_every is a per-step-path knob (drop one)")
     if spe < 1:
         # The per-step path degrades to zero-step epochs; the fused
         # program scans a [spe, B] plan and cannot (np.stack of an
@@ -257,6 +278,9 @@ def run_classification(cfg: ClassifyConfig,
                     pts_per_step, n_chips, step_h, pools=pools,
                     arrays=(x_tr, y_tr))
                 t1 = time.perf_counter()
+                if not _eval_epoch(cfg, epoch, epochs):
+                    _skip_eval_epoch(cfg, saver, epoch, state)
+                    continue
                 ev = (eval_lib.evaluate_classifier_device(
                           state.params, state.bn_state, pool_te, y_te,
                           cfg.batch_size, cfg.num_classes)
@@ -314,6 +338,9 @@ def run_segmentation(cfg: SegmentConfig, epochs: Optional[int] = None) -> dict:
                     pts_per_step, n_chips, step_h, pools=pools,
                     arrays=(x_tr, s_tr))
                 t1 = time.perf_counter()
+                if not _eval_epoch(cfg, epoch, epochs):
+                    _skip_eval_epoch(cfg, saver, epoch, state)
+                    continue
                 ev, table = (eval_lib.evaluate_segmenter_device(
                                  state.params, state.bn_state, *pools_te,
                                  s_te, c_te, cfg.batch_size)
@@ -462,6 +489,9 @@ def run_adversarial(cfg: AdversarialConfig,
                                     pts_per_step, n_chips)
                     bi += 1
             t1 = time.perf_counter()
+            if not _eval_epoch(cfg, epoch, epochs):
+                _skip_eval_epoch(cfg, saver, epoch, state)
+                continue
             ev, table = (eval_lib.evaluate_segmenter_device(
                              state.g_params, state.g_bn_state, *pools_te,
                              s_te, c_te, cfg.batch_size)
@@ -522,6 +552,9 @@ def run_adv_perturb(cfg: AdvPerturbConfig,
                     spe, pts_per_step, n_chips, step_h, pools=pools,
                     arrays=(x_tr, y_tr))
                 t1 = time.perf_counter()
+                if not _eval_epoch(cfg, epoch, epochs):
+                    _skip_eval_epoch(cfg, saver, epoch, state)
+                    continue
                 ev = (eval_lib.evaluate_classifier_device(
                           state.params, state.bn_state, pool_te, y_te,
                           cfg.batch_size, cfg.num_classes)

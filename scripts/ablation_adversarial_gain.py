@@ -50,6 +50,12 @@ def main():
                    help="K-step fused launches; 0 default — the sweep's "
                         "6-12 steps/epoch rarely fill a K=8 group, so "
                         "scan only adds compile variants here")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="eval every K-th epoch + the final one (cells "
+                        "are eval-dominated: ~60x train_s on CPU; "
+                        "best_miou then selects over the evaluated "
+                        "epochs only — a PROTOCOL change, keep it "
+                        "uniform across artifacts you pool)")
     p.add_argument("--semi_start", type=int, default=0)
     p.add_argument("--lambda_semi", type=float, default=0.1)
     p.add_argument("--lambda_adv", type=float, default=0.01)
@@ -139,19 +145,24 @@ def main():
     # final artifact is written.
     cfg_keys = ("seeds", "seed_base", "ratios", "nepoch", "batchSize",
                 "num_points",
-                "num_shapes", "scan", "semi_start", "lambda_semi",
+                "num_shapes", "scan", "semi_start", "eval_every",
+                "lambda_semi",
                 "lambda_adv", "lambda_adv_unl", "threshold",
                 "st_threshold", "d_geometry", "modes", "boundary_jitter",
                 "cluster_parts")
     cfg_dict = {k: getattr(a, k) for k in cfg_keys}
     cfg_fp = json.dumps(cfg_dict, sort_keys=True)
-    # Pre-seed_base sidecars must stay resumable: at the default base=0
-    # the sweep is identical to one recorded without the key, so accept
-    # the legacy fingerprint too (declaring it stale would truncate the
-    # sidecar and silently re-pay hours of completed cells).
+    # Sidecars written before a key existed must stay resumable when the
+    # key sits at its default (the sweep is identical to one recorded
+    # without it; declaring the sidecar stale would truncate it and
+    # silently re-pay hours of completed cells). Strip newest-added keys
+    # first so every historical schema's fingerprint is generated.
     ok_fps = {cfg_fp}
-    if a.seed_base == 0:
-        legacy = {k: v for k, v in cfg_dict.items() if k != "seed_base"}
+    legacy = dict(cfg_dict)
+    for key, default in (("eval_every", 1), ("seed_base", 0)):
+        if legacy.get(key) != default:
+            break
+        del legacy[key]
         ok_fps.add(json.dumps(legacy, sort_keys=True))
     part_path = a.json + ".partial"
     done = {}
@@ -185,7 +196,7 @@ def main():
                     self_training=(mode == "st"),
                     batch_size=a.batchSize, num_points=a.num_points,
                     epochs=a.nepoch, scan=a.scan,
-                    semi_start=a.semi_start,
+                    semi_start=a.semi_start, eval_every=a.eval_every,
                     lambda_semi=a.lambda_semi, lambda_adv=a.lambda_adv,
                     lambda_adv_unl=a.lambda_adv_unl,
                     semi_threshold=(a.st_threshold

@@ -52,11 +52,14 @@ def main():
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--outf", type=str, default="seg_giant")
     p.add_argument("--ckpt_policy", type=str, default="every",
-                   choices=["every", "latest", "none"],
+                   choices=["every", "latest", "best", "none"],
                    help="per-epoch checkpointing: every epoch (blocking "
-                        "backpressure), skip-to-latest, or none — a "
-                        "multi-hour giant-cloud run must not lose "
-                        "everything to one tunnel wedge")
+                        "backpressure), skip-to-latest, best-eval-epoch "
+                        "only, or none — a multi-hour giant-cloud run "
+                        "must not lose everything to one tunnel wedge")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="run the (point-sharded) eval pass every K-th "
+                        "epoch + always the final one")
     p.add_argument("--class_choice", type=str, default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend with an emulated "
@@ -142,6 +145,15 @@ def main():
             state, m = point_sharded_train_step(
                 state, batch[0], batch[1], mesh, cfg=cfg, tx=tx)
         train_s = time.perf_counter() - t0
+
+        if not ((epoch + 1) % max(a.eval_every, 1) == 0
+                or epoch == a.nepoch - 1):
+            # Skipped-eval epoch (--eval_every): no epoch row (the CSV
+            # schema is fixed by its first row), no save under 'best'
+            # (nothing measured to rank the epoch by).
+            if a.ckpt_policy != "best":
+                saver.save(cfg.out_dir, epoch, state)
+            continue
 
         # Eval: point-sharded forward, IoU reduction on the host. The
         # batch axis is NOT sharded, so the ragged final batch needs no

@@ -212,6 +212,63 @@ def test_ckpt_policy_best_cli():
 
 
 # ---------------------------------------------------------------------------
+# --eval_every K: cadence for eval-dominated runs (sweeps: eval_s ~ 60x
+# train_s on the CPU cluster cells)
+# ---------------------------------------------------------------------------
+
+def test_eval_every_cadence_and_best_policy(tmp_path, monkeypatch):
+    """K=2 over 5 epochs evaluates at epochs 1, 3 and the final 4;
+    'every' still checkpoints every epoch, 'best' saves only measured
+    (eval) epochs."""
+    import os
+
+    from adversarial_learning_on_pointclouds_tpu.configs import (
+        ClassifyConfig,
+    )
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+
+    evals = []
+    real = eval_lib.evaluate_classifier_device
+
+    def counting(*args, **kw):
+        evals.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(runner.eval_lib, "evaluate_classifier_device",
+                        counting)
+    base = dict(batch_size=4, num_points=64, epochs=5, num_classes=4,
+                quiet=True, num_devices=1, seed=1, eval_every=2)
+    runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "ee"), ckpt_policy="every", **base))
+    assert len(evals) == 3
+    assert sorted(int(d) for d in os.listdir(str(tmp_path / "ee"))
+                  if d.isdigit()) == [0, 1, 2, 3, 4]
+
+    evals.clear()
+    runner.run_classification(ClassifyConfig(
+        out_dir=str(tmp_path / "best"), ckpt_policy="best", **base))
+    assert len(evals) == 3
+    saved = {int(d) for d in os.listdir(str(tmp_path / "best"))
+             if d.isdigit()}
+    assert saved and saved <= {1, 3, 4}, saved  # only measured epochs
+
+
+def test_eval_every_rejects_fused_epoch():
+    from adversarial_learning_on_pointclouds_tpu.train import runner
+
+    cfg = AdversarialConfig(fused_epoch=True, eval_every=2, batch_size=4,
+                            num_points=64, epochs=1)
+    with pytest.raises(ValueError, match="eval_every"):
+        runner.run_adversarial(cfg)
+
+
+def test_eval_every_cli():
+    cfg = adversarial_config_from_args(["--eval_every", "4"])
+    assert cfg.eval_every == 4
+    assert adversarial_config_from_args([]).eval_every == 1
+
+
+# ---------------------------------------------------------------------------
 # Ablation sweep resume: completed cells are never re-run after a crash
 # ---------------------------------------------------------------------------
 
