@@ -34,6 +34,22 @@ from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
 )
 
 
+def _pad_n_to_tile(n: int, cap: int = 256) -> int:
+    """Extra rows needed when the point axis has NO power-of-two tile.
+
+    ``_tile_n`` falls back to a full-width ``(1, N, C)`` block for such
+    ``N`` (the reference lineage's seg default N=2500 is the live case:
+    2500 has no multiple-of-8 divisor <= 256). At large N that regime
+    blows the 16 MB scoped-VMEM limit — the N=2500 seg head needs
+    ~22 MB for its [N, 512] intermediates (measured OOM on v5e,
+    TPUCHECK_r04). Padding N up to the next ``cap`` multiple restores
+    the designed pipelined tiling for ANY N; callers must make the pad
+    rows semantically inert (slice them off / replicate a real row)."""
+    if _tile_n(n, cap=cap) == n and n > cap:
+        return -(-n // cap) * cap - n
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # fused_stack_maxpool: pointwise MLP stack with max-pool epilogue
 # ---------------------------------------------------------------------------
@@ -69,6 +85,13 @@ def fused_stack_maxpool(x: jnp.ndarray,
                         acts: Sequence[Optional[str]]) -> jnp.ndarray:
     """``[B, N, c0] -> max over N of the chained stack -> [B, c_out]``."""
     bsz, n, _ = x.shape
+    pad = _pad_n_to_tile(n)
+    if pad:
+        # Replicated real rows are max-invariant: identical points run
+        # the same pointwise stack, so the pooled max is EXACT (zero
+        # rows would not be — their post-BN activations could win).
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        n += pad
     n_layers = len(weights)
     c_out = weights[-1].shape[1]
     tn = _tile_n(n, cap=256)
@@ -131,6 +154,12 @@ def seg_head_fused(point_feat: jnp.ndarray, global_feat: jnp.ndarray,
     per-point log-probabilities ``[B, N, num_parts]``.
     """
     bsz, n, c_pf = point_feat.shape
+    n_orig, pad = n, _pad_n_to_tile(n)
+    if pad:
+        # The head is per-point (the log_softmax epilogue included), so
+        # zero pad rows are inert — sliced off below.
+        point_feat = jnp.pad(point_feat, ((0, 0), (0, pad), (0, 0)))
+        n += pad
     num_parts = w4.shape[1]
     w1a, w1b = w1[:c_pf], w1[c_pf:]
     tn = _tile_n(n, cap=256)
@@ -150,7 +179,7 @@ def seg_head_fused(point_feat: jnp.ndarray, global_feat: jnp.ndarray,
         specs.append(pl.BlockSpec(a.shape, lambda i, j, nd=a.ndim: (0,) * nd,
                                   memory_space=pltpu.VMEM))
         operands.append(a)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _seg_head_kernel,
         grid=(bsz, n // tn),
         in_specs=specs,
@@ -162,3 +191,4 @@ def seg_head_fused(point_feat: jnp.ndarray, global_feat: jnp.ndarray,
             vmem_limit_bytes=16 * 1024 * 1024),
         interpret=_interpret(),
     )(*operands)
+    return out[:, :n_orig] if pad else out

@@ -593,3 +593,56 @@ def test_fc_head_train_kernel_parity():
                   argnums=tuple(range(11)))(*args)
     for a, b in zip(gf, gr):
         _close(a, b, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Untileable point axis: the padded-tile regime (TPUCHECK_r04 regression)
+# ---------------------------------------------------------------------------
+
+def test_pad_n_to_tile_boundaries():
+    # 2500 (reference seg default) has no multiple-of-8 divisor <= 256:
+    # padded up to 2560 so the designed 256-wide pipeline runs instead
+    # of one full-width block (which needs ~22 MB scoped VMEM in the
+    # seg head at 50 parts — measured OOM vs the 16 MB limit on v5e).
+    assert encoder_fused._pad_n_to_tile(2500) == 60
+    # Tileable N: no pad.
+    assert encoder_fused._pad_n_to_tile(2048) == 0
+    # Untileable but SMALL full-width blocks stay legal and cheap.
+    assert encoder_fused._pad_n_to_tile(100) == 0
+
+
+def test_eval_kernels_untileable_n_parity():
+    """N=2500 through both eval megakernels == the jnp reference.
+
+    Pins the pad semantics: zero rows sliced off (per-point seg head),
+    edge-replicated rows (max-invariant) for the pooled trunk."""
+    n = 2500
+    pf, g = _rand(0, (B, n, 64)), _rand(1, (B, 1024))
+    w1 = _rand(2, (1088, 512)) * 0.05
+    w2, w3, w4 = (_rand(3, (512, 256)) * 0.05, _rand(4, (256, 128)) * 0.05,
+                  _rand(5, (128, 50)) * 0.05)
+    s1, s2, s3 = _rand(6, (512,)), _rand(7, (256,)), _rand(8, (128,))
+    c1 = jax.random.uniform(jax.random.PRNGKey(9), (512,)) + 0.5
+    c2 = jax.random.uniform(jax.random.PRNGKey(10), (256,)) + 0.5
+    c3 = jax.random.uniform(jax.random.PRNGKey(11), (128,)) + 0.5
+    b4 = _rand(12, (50,))
+    y = encoder_fused.seg_head_fused(pf, g, w1, s1, c1, w2, s2, c2,
+                                     w3, s3, c3, w4, b4)
+    assert y.shape == (B, n, 50)
+    concat = jnp.concatenate(
+        [pf, jnp.broadcast_to(g[:, None, :], (B, n, 1024))], -1)
+    h = jnp.maximum((concat @ w1) * c1 + s1, 0)
+    h = jnp.maximum((h @ w2) * c2 + s2, 0)
+    h = jnp.maximum((h @ w3) * c3 + s3, 0)
+    _close(y, jax.nn.log_softmax(h @ w4 + b4, axis=-1), rtol=1e-4)
+
+    x = _rand(13, (B, n, 64))
+    ws = [_rand(14, (64, 128)), _rand(15, (128, 256))]
+    shifts = [_rand(16, (128,)), _rand(17, (256,))]
+    scales = [jax.random.uniform(jax.random.PRNGKey(18), (128,)) + 0.5,
+              jax.random.uniform(jax.random.PRNGKey(19), (256,)) + 0.5]
+    p = encoder_fused.fused_stack_maxpool(x, ws, shifts, scales,
+                                          ("relu", None))
+    hh = jnp.maximum((x @ ws[0]) * scales[0] + shifts[0], 0)
+    hh = (hh @ ws[1]) * scales[1] + shifts[1]
+    _close(p, jnp.max(hh, axis=1), rtol=1e-4)
