@@ -24,6 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _PROBE = ("import jax, jax.numpy as jnp; jax.devices(); "
           "assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0")
 
+_T0 = time.monotonic()
+
+
+def _phase(msg: str) -> None:
+    """Progress heartbeat on stderr (stdout stays pure: ONE JSON line).
+
+    An externally-killed run (driver timeout — BENCH_r04 rc=124) must
+    leave a tail that says which phase it died in."""
+    print(f"# [t+{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def _wait_for_backend(budget_s: float, verbose: bool) -> None:
     """Block until the accelerator backend answers a trivial program.
@@ -37,29 +48,33 @@ def _wait_for_backend(budget_s: float, verbose: bool) -> None:
     deadline = time.monotonic() + budget_s
     attempt = 0
     last_err = "probe timed out (wedge-style hang)"
+    _phase(f"probing backend (budget {budget_s:.0f}s)")
     while True:
         attempt += 1
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE],
                                timeout=120, capture_output=True)
             if r.returncode == 0:
+                _phase(f"backend healthy (probe {attempt})")
                 return
             # Fast non-zero exit = a real error (broken env/plugin), not
             # a wedge — surface it instead of silently burning retries.
             last_err = (r.stderr or b"").decode(errors="replace")[-2000:]
             print(f"# backend probe {attempt} errored (rc={r.returncode}):"
-                  f"\n{last_err}", file=sys.stderr)
+                  f"\n{last_err}", file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
             last_err = "probe timed out (wedge-style hang)"
         if time.monotonic() >= deadline:
             print(f"bench.py: accelerator backend unavailable after "
                   f"{attempt} probes over {budget_s:.0f}s — giving up. "
-                  f"Last probe: {last_err}", file=sys.stderr)
+                  f"Last probe: {last_err}", file=sys.stderr, flush=True)
             sys.exit(1)
-        if verbose:
-            print(f"# backend probe {attempt} failed; retrying in 180s",
-                  file=sys.stderr)
-        time.sleep(min(180.0, max(1.0, deadline - time.monotonic())))
+        # Heartbeat EVERY probe (not just --verbose): a run killed by an
+        # external clock must leave a diagnosable tail (BENCH_r04 was
+        # rc=124 with an empty tail — undiagnosable).
+        _phase(f"probe {attempt} failed ({last_err.splitlines()[-1][:80]}); "
+               f"{deadline - time.monotonic():.0f}s left, retrying in 60s")
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
 def main() -> None:
@@ -101,12 +116,14 @@ def main() -> None:
                         "(amortizes dispatch; the runner's --scan mode; "
                         "0 = one step per launch)")
     p.add_argument("--verbose", action="store_true")
-    p.add_argument("--backend_wait_s", type=float, default=3600.0,
+    p.add_argument("--backend_wait_s", type=float, default=900.0,
                    help="how long to wait for a wedged accelerator "
                         "backend to recover before failing (0 = no wait); "
-                        "default 1 h — round-4 observed a >7 h wedge, and "
-                        "a failed driver bench costs the whole round's "
-                        "headline number")
+                        "default 15 min — long enough to ride out probe "
+                        "blips, short enough that a driver-budget run "
+                        "(BENCH_r04: rc=124 under the old 1 h default) "
+                        "reaches the measurement phase with clock to "
+                        "spare when the backend is healthy")
     args = p.parse_args()
 
     if args.paired_trunks and (not args.paired_heads or args.fused_forward):
@@ -116,6 +133,7 @@ def main() -> None:
     if args.backend_wait_s > 0:
         _wait_for_backend(args.backend_wait_s, args.verbose)
 
+    _phase("importing jax + framework")
     import jax
 
     # Persistent compilation cache: the bf16 step graph can take minutes
@@ -178,6 +196,8 @@ def main() -> None:
             step = lambda s: adversarial.train_step(  # noqa: E731
                 s, x_l, y_l, x_u, cfg=cfg, g_tx=g_tx, d_tx=d_tx)
 
+        _phase("compiling + warmup (seconds if the persistent cache is "
+               "warm, minutes cold)")
         t0 = time.perf_counter()
         metrics = None
         for _ in range(args.warmup):
@@ -188,11 +208,14 @@ def main() -> None:
             float(metrics["loss_g"])
         compile_s = time.perf_counter() - t0
 
+        _phase(f"warmup+compile done in {compile_s:.1f}s; measuring "
+               f"{args.steps} steps")
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step(state)
         float(metrics["loss_g"])
         dt = (time.perf_counter() - t0) / args.steps
+        _phase(f"measured {dt * 1e3:.2f} ms/step")
 
     # Points processed per launch: labeled + unlabeled clouds, x K when
     # scanning multiple steps per program.
@@ -209,7 +232,7 @@ def main() -> None:
         "value": round(pps_per_chip, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pps_per_chip / 1e6, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
