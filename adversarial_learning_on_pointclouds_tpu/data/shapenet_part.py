@@ -222,7 +222,8 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
                             layout: str = "h5",
                             boundary_jitter: float = 0.0,
                             cluster_parts: bool = False,
-                            center_jitter: float = 0.25) -> str:
+                            center_jitter: float = 0.25,
+                            cluster_sigma: float = 0.18) -> str:
     """Synthetic ShapeNet-part fixtures (h5 layout by default).
 
     GENERALIZABLE by construction, not just overfittable: every category
@@ -267,10 +268,14 @@ def make_synthetic_shapenet(root: str, num_shapes: int = 64,
             centers = (panchors[cat, :count] + center_jitter
                        * rng.standard_normal((count, 3)).astype(np.float32))
             blob_i = rng.integers(0, count, num_points)
-            # σ=0.18 vs ~1.1 typical inter-anchor distance: blobs stay
-            # identifiable from density while overlapping enough that a
-            # position-only rule misassigns boundary points.
-            pts[i] = centers[blob_i] + 0.18 * rng.standard_normal(
+            # Default σ=0.18 vs ~1.1 typical inter-anchor distance: blobs
+            # stay identifiable from density while overlapping enough
+            # that a position-only rule misassigns boundary points.
+            # ``cluster_sigma`` raises/lowers the overlap — the
+            # boundary-ambiguity knob for the adversarial-gain fixture
+            # ladder (round-5 rung: more ambiguity = more room for a
+            # label-map prior to beat plain CE).
+            pts[i] = centers[blob_i] + cluster_sigma * rng.standard_normal(
                 (num_points, 3)).astype(np.float32)
             pids[i] = start + blob_i
         norm = np.max(np.linalg.norm(pts, axis=-1, keepdims=True), 1,

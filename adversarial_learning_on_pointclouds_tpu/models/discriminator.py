@@ -43,7 +43,8 @@ def apply_discriminator(params: core.Params, prob_map: jnp.ndarray,
     the narrow five-layer stack is bandwidth-bound under XLA (measured
     2.8 ms vs ~0.6 ms bandwidth floor on v5e at batch 32x2048).
     """
-    if ops.pallas_enabled() and prob_map.ndim == 3:
+    if (ops.pallas_enabled() and prob_map.ndim == 3
+            and ops.train_tiling_ok(prob_map.shape[1])):
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             disc_fused,
         )

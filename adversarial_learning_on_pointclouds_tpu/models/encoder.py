@@ -63,7 +63,8 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
         x = ops.batched_transform(x, trans_feat)
 
     point_feat = x  # [B, N, 64]
-    if train and ops.pallas_enabled():
+    if (train and ops.pallas_enabled()
+            and ops.train_tiling_ok(point_feat.shape[1])):
         # Fused TRAINING trunk: conv2+BN2+ReLU -> conv3+BN3 -> max-pool
         # with in-kernel batch statistics; z3 [B,N,1024] never exists in
         # forward or backward (ops/kernels/trunk_train.py).
@@ -143,7 +144,8 @@ def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
         params["conv3"]["w"], params["conv3"]["b"],
         params["bn3"]["scale"], params["bn3"]["bias"])
 
-    if paired_trunks and train and ops.pallas_enabled():
+    if (paired_trunks and train and ops.pallas_enabled()
+            and ops.train_tiling_ok(x_a.shape[1])):
         b = x_a.shape[0]
         g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
             jnp.concatenate([x_a, x_b], axis=0), *trunk_args, groups=2)
@@ -155,7 +157,8 @@ def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
         return x_a, g_a, x_b, g_b, tf_a, tf_b, new_state
 
     def trunk(pf, s_bn2, s_bn3):
-        if train and ops.pallas_enabled():
+        if (train and ops.pallas_enabled()
+                and ops.train_tiling_ok(pf.shape[1])):
             g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
                 pf, *trunk_args)
             return (g, _ema_stats(s_bn2, mu2, v2, pf),

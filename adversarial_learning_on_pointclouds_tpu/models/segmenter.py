@@ -74,7 +74,8 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
     )
     pf, g, trans, trans_feat, new_state["feat"] = apply_encoder_parts(
         params["feat"], state["feat"], x, train)
-    if train and ops.pallas_enabled():
+    if (train and ops.pallas_enabled()
+            and ops.train_tiling_ok(pf.shape[1])):
         # Fully-fused training head (BN stats in-kernel, stash-only
         # activations, fused log_softmax; ops/kernels/seg_head_train.py).
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
@@ -131,7 +132,7 @@ def apply_segmenter_pair(params: core.Params, state: core.BnState,
                                  True, paired_trunks)
 
     def head(pf, g, bn_states):
-        if ops.pallas_enabled():
+        if ops.pallas_enabled() and ops.train_tiling_ok(pf.shape[1]):
             from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
                 seg_head_train,
             )

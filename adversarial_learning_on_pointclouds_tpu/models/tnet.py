@@ -75,7 +75,8 @@ def apply_tnet_pair(params: core.Params, state: core.BnState,
     stacked ``[2B, N, 64]`` batch with PER-STREAM in-kernel statistics
     (bit-identical pooled outputs to two sequential calls; see
     ``trunk_train``). conv1 and its per-point BN stay per-stream."""
-    if paired_trunks and train and ops.pallas_enabled():
+    if (paired_trunks and train and ops.pallas_enabled()
+            and ops.train_tiling_ok(x_a.shape[1])):
         h, conv_state = _pooled_trunk_grouped(params, state, x_a, x_b)
         mid = dict(state)
         mid.update(conv_state)
@@ -99,7 +100,8 @@ def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
                   train: bool) -> Tuple[jnp.ndarray, core.BnState]:
     """conv1..conv3 (+BNs) + symmetric max-pool -> ``[B, 1024]``."""
     new_state = {}
-    if train and ops.pallas_enabled():
+    if (train and ops.pallas_enabled()
+            and ops.train_tiling_ok(x.shape[1])):
         # conv1 layerwise (tiny K — XLA already optimal; the trunk3
         # variant folding it into the kernel chain measured slightly
         # SLOWER, 7.23M vs 7.51M pts/s, from the extra z1 stash round

@@ -37,6 +37,29 @@ def pallas_train_enabled() -> bool:
     return getattr(_state, "use_pallas_train", False)
 
 
+def train_tiling_ok(n: int, cap: int = 512) -> bool:
+    """True when the fused TRAINING kernel families (``trunk_train``,
+    ``seg_head_train``) have a legal pipelined N-tile at this point
+    count.
+
+    Untileable ``n`` (no multiple-of-8 divisor <= ``cap`` — the reference
+    lineage's seg default N=2500 is the live case) forces a full-width
+    ``(1, N, C)`` block whose working set blows Mosaic's 16 MB
+    scoped-VMEM limit (measured: the seg head needs 20.75 MB at N=2500,
+    TPUCHECK_r04/r05). The eval megakernels fix this by padding N up to
+    the tile cap (``encoder_fused._pad_n_to_tile``) — sound there because
+    their BN statistics are FOLDED constants. The training kernels
+    compute batch statistics IN-KERNEL, so pad rows would enter the
+    moments; instead the model dispatch falls back to the XLA training
+    path — correct at any N and still well above the throughput target
+    (BASELINE.md round-1: XLA-only bf16 trains at 3.35M pts/s/chip vs
+    the 1M target)."""
+    from adversarial_learning_on_pointclouds_tpu.ops.kernels.shared_mlp import (
+        _tile_n,
+    )
+    return n <= cap or _tile_n(n, cap=cap) != n
+
+
 def current_paths() -> tuple:
     """The trace-time path flags as a hashable tuple — (pallas,
     pallas_train, mixed-precision dtype name or None).

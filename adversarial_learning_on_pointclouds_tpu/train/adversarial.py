@@ -85,7 +85,8 @@ def _d_frozen(d_params, probs):
     the zero weight-cotangents are never consumed — the G step
     differentiates w.r.t. g_params only)."""
     from adversarial_learning_on_pointclouds_tpu.ops import dispatch
-    if dispatch.pallas_enabled() and probs.ndim == 3:
+    if (dispatch.pallas_enabled() and probs.ndim == 3
+            and dispatch.train_tiling_ok(probs.shape[1])):
         from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
             disc_fused,
         )
@@ -456,9 +457,12 @@ def _train_step_impl(state, x_l, y_l, x_u, cfg, g_tx, d_tx):
         probs_u = jax.lax.stop_gradient(aux["probs_u"])
         from adversarial_learning_on_pointclouds_tpu.ops import dispatch
         fake_logits = None
-        if dispatch.pallas_enabled():
+        if (dispatch.pallas_enabled()
+                and dispatch.train_tiling_ok(x_l.shape[1])):
             # Pre-update D on the same detached inputs => identical
             # logits; skip the redundant fake forward (see _d_loss_fn).
+            # (Untileable N falls back with the rest of the fused-kernel
+            # family — _d_loss_fn's known-logits path is disc_fused-only.)
             fake_logits = jax.lax.stop_gradient(
                 jnp.concatenate([aux["d_l"], aux["d_u"]], axis=0))
         xyz = ((jax.lax.stop_gradient(x_l), jax.lax.stop_gradient(x_u))

@@ -84,6 +84,13 @@ def main():
                         "irreducible-noise control regime — the offset "
                         "is independent of the geometry, so no method "
                         "can recover it)")
+    p.add_argument("--cluster_sigma", type=float, default=0.18,
+                   help="blob std-dev for the --cluster_parts fixture "
+                        "(vs ~1.1 inter-anchor distance). Larger = more "
+                        "blob overlap = more boundary points whose label "
+                        "is ambiguous given position — the round-5 "
+                        "fixture rung probing whether boundary ambiguity "
+                        "opens a gain regime for the label-map prior")
     p.add_argument("--cluster_parts", action="store_true",
                    help="cluster-assumption fixture: parts ARE "
                         "per-shape-jittered Gaussian blobs, so part "
@@ -128,13 +135,16 @@ def main():
         # at different parameters.
         tag = (f"pointtpu_ablation_shapenet_{a.num_shapes}x{a.num_points}"
                + (f"_bj{a.boundary_jitter:g}" if a.boundary_jitter else "")
-               + ("_cl" if a.cluster_parts else ""))
+               + ("_cl" if a.cluster_parts else "")
+               + (f"_cs{a.cluster_sigma:g}"
+                  if a.cluster_parts and a.cluster_sigma != 0.18 else ""))
         root = os.path.join(tempfile.gettempdir(), tag)
         if not (os.path.isdir(root) and os.listdir(root)):
             make_synthetic_shapenet(root, num_shapes=a.num_shapes,
                                     num_points=a.num_points,
                                     boundary_jitter=a.boundary_jitter,
-                                    cluster_parts=a.cluster_parts)
+                                    cluster_parts=a.cluster_parts,
+                                    cluster_sigma=a.cluster_sigma)
 
     # Crash/wedge resume: every completed cell lands immediately in a
     # JSON-lines sidecar next to --json; a re-run with the IDENTICAL
@@ -149,7 +159,7 @@ def main():
                 "lambda_semi",
                 "lambda_adv", "lambda_adv_unl", "threshold",
                 "st_threshold", "d_geometry", "modes", "boundary_jitter",
-                "cluster_parts")
+                "cluster_parts", "cluster_sigma")
     cfg_dict = {k: getattr(a, k) for k in cfg_keys}
     cfg_fp = json.dumps(cfg_dict, sort_keys=True)
     # Sidecars written before a key existed must stay resumable when the
@@ -159,7 +169,8 @@ def main():
     # first so every historical schema's fingerprint is generated.
     ok_fps = {cfg_fp}
     legacy = dict(cfg_dict)
-    for key, default in (("eval_every", 1), ("seed_base", 0)):
+    for key, default in (("cluster_sigma", 0.18), ("eval_every", 1),
+                         ("seed_base", 0)):
         if legacy.get(key) != default:
             break
         del legacy[key]

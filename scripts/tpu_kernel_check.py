@@ -361,45 +361,59 @@ def check_pool_fc_epilogue():
         assert worst <= 1e-3, worst
 
 
-def check_ref_npoints():
+def check_ref_npoints(ns=(2500,)):
     """Compiled kernels at the reference lineage's seg default N=2500 —
     a NON-power-of-two point count where ``_tile_n`` falls back to one
-    full-width N tile (2500 % 8 != 0, so every cap divisor fails). The
-    CPU suite runs this in interpreter mode only; Mosaic tile legality
-    and VMEM fit exist only compiled."""
+    full-width N tile (2500 % 8 != 0, so every cap divisor fails; the
+    eval megakernels pad N up to the tile cap — ``_pad_n_to_tile``).
+    The CPU suite runs this in interpreter mode only; Mosaic tile
+    legality and VMEM fit exist only compiled.
+
+    ``ns`` widens the sweep to other reference-plausible point counts
+    (VERDICT r4 next #2): 1000/3000 tile normally (both have
+    multiple-of-8 divisors), 1500 exercises the pad path at a second
+    size (1500 = 4x375, no multiple-of-8 divisor)."""
     from adversarial_learning_on_pointclouds_tpu import losses as _losses
     from adversarial_learning_on_pointclouds_tpu.models import (
         apply_segmenter, init_segmenter,
     )
     from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
-    B, N = 4, 2500
-    x = _inputs(B, N)
     sp, ss = init_segmenter(jax.random.PRNGKey(4), 50,
                             feature_transform=True)
-    labels = jax.random.randint(jax.random.PRNGKey(9), (B, N), 0, 50)
+    for N in ns:
+        B = 4
+        x = _inputs(B, N)
+        labels = jax.random.randint(jax.random.PRNGKey(9), (B, N), 0, 50)
 
-    def loss(p, use, train):
-        def inner():
-            logp, _, tf, _ = apply_segmenter(p, ss, x, train=train)
-            out = _losses.nll_loss(logp, labels)
-            return out + (0.001 * _losses.orthogonality_reg(tf)
-                          if train else 0.0)
-        if use:
-            with use_pallas():
-                return inner()
-        return inner()
+        def loss(p, use, train):
+            def inner():
+                logp, _, tf, _ = apply_segmenter(p, ss, x, train=train)
+                out = _losses.nll_loss(logp, labels)
+                return out + (0.001 * _losses.orthogonality_reg(tf)
+                              if train else 0.0)
+            if use:
+                with use_pallas():
+                    return inner()
+            return inner()
 
-    for train in (False, True):
-        ref = float(jax.jit(lambda p: loss(p, False, train))(sp))
-        pal = float(jax.jit(lambda p: loss(p, True, train))(sp))
-        rel = abs(pal - ref) / max(abs(ref), 1e-8)
-        print(f"[{'OK ' if rel <= 1e-3 else 'FAIL'}] N=2500 compiled "
-              f"{'train' if train else 'eval'} loss: rel={rel:.2e}")
-        assert rel <= 1e-3, (train, pal, ref)
-    g = jax.jit(jax.grad(lambda p: loss(p, True, True)))(sp)
-    assert all(bool(jnp.all(jnp.isfinite(l)))
-               for l in jax.tree_util.tree_leaves(g))
-    print("[OK ] N=2500 compiled train grads finite")
+        for train in (False, True):
+            ref = float(jax.jit(lambda p: loss(p, False, train))(sp))
+            pal = float(jax.jit(lambda p: loss(p, True, train))(sp))
+            rel = abs(pal - ref) / max(abs(ref), 1e-8)
+            print(f"[{'OK ' if rel <= 1e-3 else 'FAIL'}] N={N} compiled "
+                  f"{'train' if train else 'eval'} loss: rel={rel:.2e}",
+                  flush=True)
+            assert rel <= 1e-3, (N, train, pal, ref)
+        g = jax.jit(jax.grad(lambda p: loss(p, True, True)))(sp)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+        print(f"[OK ] N={N} compiled train grads finite", flush=True)
+
+
+def check_ref_npoints_sweep():
+    """The wider N sweep (separate entry so the default chip suite stays
+    ~8 min; run via ``--only npoints_sweep`` or the round-5 chip agenda)."""
+    check_ref_npoints(ns=(1000, 1500, 3000))
 
 
 def check_disc_geometry_width():
@@ -446,9 +460,21 @@ ALL_CHECKS = (check_pointwise_matmul, check_eval_parity,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="run a single check by (suffix of its) name, "
+                         "e.g. --only npoints_sweep")
+    a = ap.parse_args()
+    checks = ALL_CHECKS
+    if a.only:
+        pool = ALL_CHECKS + (check_ref_npoints_sweep,)
+        checks = tuple(f for f in pool if f.__name__.endswith(a.only))
+        if not checks:
+            sys.exit(f"no check matches --only {a.only}")
     print("devices:", jax.devices())
     failures = []
-    for fn in ALL_CHECKS:
+    for fn in checks:
         try:
             fn()
         except AssertionError as e:
