@@ -204,6 +204,16 @@ class AdversarialConfig(SegmentConfig):
                                   #   no numerics change;
                                   #   --no_paired_heads restores the
                                   #   sequential per-stream heads).
+    paired_conv1: bool = False    # --paired_conv1: batch the per-point
+                                  #   conv1 layers (encoder 3->64, STN
+                                  #   3->64, fSTN 64->64) across the two
+                                  #   streams with grouped per-stream
+                                  #   BN1 statistics (exact sequential
+                                  #   semantics; ops.linear_bn_act_pair).
+                                  #   Round-5 candidate from the isolated
+                                  #   2B-stacking win (perf_round4.log:
+                                  #   0.62-0.90x) — default set by the
+                                  #   round-5 A/B receipt in BASELINE.md.
     paired_trunks: bool = False   # --paired_trunks: additionally batch
                                   #   the fused CONV TRUNK kernels
                                   #   across the two streams
@@ -469,6 +479,11 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
                         "two streams too (grouped per-stream BN "
                         "statistics, bit-identical pooled outputs); "
                         "requires paired heads")
+    p.add_argument("--paired_conv1", action="store_true",
+                   help="batch the per-point conv1 layers across the two "
+                        "streams (grouped per-stream BN1 statistics — "
+                        "exact sequential semantics); requires paired "
+                        "heads")
     p.add_argument("--fused_forward", action="store_true",
                    help="one combined G forward over [labeled; unlabeled] "
                         "(BN stats over the combined batch; measured slower "
@@ -484,6 +499,9 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         # silently measuring the sequential path under this flag would
         # produce a WRONG perf receipt (review r4 finding).
         p.error("--paired_trunks requires the paired-heads path "
+                "(drop --no_paired_heads / --fused_forward)")
+    if a.paired_conv1 and (not a.paired_heads or a.fused_forward):
+        p.error("--paired_conv1 requires the paired-heads path "
                 "(drop --no_paired_heads / --fused_forward)")
     kw = _common_kwargs(a, 2048, "adv")
     kw.pop("feature_transform")
@@ -501,6 +519,7 @@ def adversarial_config_from_args(argv=None) -> AdversarialConfig:
         # last-wins), so neither flag is dead (ADVICE r3).
         paired_heads=a.paired_heads,
         paired_trunks=a.paired_trunks,
+        paired_conv1=a.paired_conv1,
         fused_forward=a.fused_forward,
         d_geometry=a.d_geometry,
         labeled_ratio=a.labeled_ratio,

@@ -200,17 +200,22 @@ def batch_norm_grouped(p: Params, s: BnState, x: jnp.ndarray, train: bool,
     """
     if not train or groups == 1:
         return batch_norm(p, s, x, train, momentum, eps)
-    gb, c = x.shape
+    gb, c = x.shape[0], x.shape[-1]
     b = gb // groups
     cc = jax.lax.stop_gradient(s["mean"])
-    xc = (x - cc).reshape(groups, b, c)
-    mean_c = jnp.mean(xc, axis=1, keepdims=True)            # [G, 1, C]
-    m2 = jnp.mean(jnp.square(xc), axis=1, keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(mean_c), 0.0)         # [G, 1, C]
+    # [G, B, C] (fc heads) or [G, B, N, C] (per-point conv layers under
+    # --paired_conv1); statistics reduce over every per-group axis
+    # except channels — matching batch_norm's (batch, points) reduction.
+    xc = (x - cc).reshape((groups, b) + x.shape[1:])
+    axes = tuple(range(1, xc.ndim - 1))
+    mean_c = jnp.mean(xc, axis=axes, keepdims=True)         # [G, 1.., C]
+    m2 = jnp.mean(jnp.square(xc), axis=axes, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean_c), 0.0)         # [G, 1.., C]
     inv = jax.lax.rsqrt(var + eps)
-    y = ((xc - mean_c) * (inv * p["scale"]) + p["bias"]).reshape(gb, c)
+    y = ((xc - mean_c) * (inv * p["scale"]) + p["bias"]).reshape(x.shape)
     mean = (mean_c + cc).reshape(groups, c)
-    unbiased = (var * (b / max(b - 1, 1))).reshape(groups, c)
+    n = xc.size // (groups * c)  # rows behind each group's moments
+    unbiased = (var * (n / max(n - 1, 1))).reshape(groups, c)
     new_mean, new_var = s["mean"], s["var"]
     for i in range(groups):
         new_mean = (1.0 - momentum) * new_mean + momentum * mean[i]

@@ -104,7 +104,8 @@ def apply_encoder_parts(params: core.Params, state: core.BnState,
 
 def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
                              x_a: jnp.ndarray, x_b: jnp.ndarray,
-                             train: bool, paired_trunks: bool = False):
+                             train: bool, paired_trunks: bool = False,
+                             paired_conv1: bool = False):
     """Two-stream encoder with the T-Net fc heads batched across streams
     (``tnet.apply_tnet_pair``; adversarial ``--paired_heads``). The conv
     layers and fused trunks stay per-stream — BN batch statistics and
@@ -123,18 +124,25 @@ def apply_encoder_parts_pair(params: core.Params, state: core.BnState,
 
     new_state = {}
     t_a, t_b, new_state["stn"] = apply_tnet_pair(
-        params["stn"], state["stn"], x_a, x_b, train, paired_trunks)
+        params["stn"], state["stn"], x_a, x_b, train, paired_trunks,
+        paired_conv1)
     x_a = ops.batched_transform(x_a, t_a)
     x_b = ops.batched_transform(x_b, t_b)
-    x_a, bn1_a = ops.linear_bn_act(
-        params["conv1"], params["bn1"], state["bn1"], x_a, train, "relu")
-    x_b, new_state["bn1"] = ops.linear_bn_act(
-        params["conv1"], params["bn1"], bn1_a, x_b, train, "relu")
+    if paired_conv1 and train:
+        x_a, x_b, new_state["bn1"] = ops.linear_bn_act_pair(
+            params["conv1"], params["bn1"], state["bn1"], x_a, x_b, "relu")
+    else:
+        x_a, bn1_a = ops.linear_bn_act(
+            params["conv1"], params["bn1"], state["bn1"], x_a, train,
+            "relu")
+        x_b, new_state["bn1"] = ops.linear_bn_act(
+            params["conv1"], params["bn1"], bn1_a, x_b, train, "relu")
 
     tf_a = tf_b = None
     if "fstn" in params:
         tf_a, tf_b, new_state["fstn"] = apply_tnet_pair(
-            params["fstn"], state["fstn"], x_a, x_b, train, paired_trunks)
+            params["fstn"], state["fstn"], x_a, x_b, train, paired_trunks,
+            paired_conv1)
         x_a = ops.batched_transform(x_a, tf_a)
         x_b = ops.batched_transform(x_b, tf_b)
 

@@ -112,6 +112,7 @@ def apply_segmenter(params: core.Params, state: core.BnState, x: jnp.ndarray,
 def apply_segmenter_pair(params: core.Params, state: core.BnState,
                          x_a: jnp.ndarray, x_b: jnp.ndarray,
                          paired_trunks: bool = False,
+                         paired_conv1: bool = False,
                          ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                     Optional[jnp.ndarray],
                                     Optional[jnp.ndarray], core.BnState]:
@@ -129,7 +130,7 @@ def apply_segmenter_pair(params: core.Params, state: core.BnState,
     new_state = {}
     pf_a, g_a, pf_b, g_b, tf_a, tf_b, new_state["feat"] = \
         apply_encoder_parts_pair(params["feat"], state["feat"], x_a, x_b,
-                                 True, paired_trunks)
+                                 True, paired_trunks, paired_conv1)
 
     def head(pf, g, bn_states):
         if ops.pallas_enabled() and ops.train_tiling_ok(pf.shape[1]):

@@ -52,6 +52,7 @@ def apply_tnet(params: core.Params, state: core.BnState, x: jnp.ndarray,
 def apply_tnet_pair(params: core.Params, state: core.BnState,
                     x_a: jnp.ndarray, x_b: jnp.ndarray, train: bool,
                     paired_trunks: bool = False,
+                    paired_conv1: bool = False,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, core.BnState]:
     """Two same-shape streams with the fc head matmuls BATCHED across
     them — per-stream BN statistics (reference semantics preserved).
@@ -81,6 +82,11 @@ def apply_tnet_pair(params: core.Params, state: core.BnState,
         mid = dict(state)
         mid.update(conv_state)
         st_ab = conv_state
+    elif paired_conv1 and train:
+        h_a, h_b, st_ab = _pooled_trunk_pair_conv1(params, state, x_a, x_b)
+        mid = dict(state)
+        mid.update(st_ab)
+        h = jnp.concatenate([h_a, h_b], axis=0)
     else:
         h_a, st_a = _pooled_trunk(params, state, x_a, train)
         mid = dict(state)
@@ -150,6 +156,56 @@ def _pooled_trunk(params: core.Params, state: core.BnState, x: jnp.ndarray,
                 train=train, act="relu")
         h = ops.max_points(h)  # [B, 1024] symmetric pool
     return h, new_state
+
+
+def _pooled_trunk_pair_conv1(params: core.Params, state: core.BnState,
+                             x_a: jnp.ndarray, x_b: jnp.ndarray,
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                        core.BnState]:
+    """Train-mode two-stream trunk with ONLY conv1 batched across the
+    streams (``--paired_conv1``): one ``[2B, N, C]`` conv1 matmul with
+    per-stream grouped BN1 statistics (EMA chained a -> b — the exact
+    statistics of two sequential calls), then the per-stream fused
+    trunk. Unlike ``--paired_trunks`` this leaves the trunk2 kernel's
+    per-B VMEM tiling untouched (its 2B grouping measured −34% E2E,
+    BASELINE.md round-4) and batches only the layer the isolated probe
+    showed winning stacked (conv1 0.62-0.90x, perf_round4.log)."""
+    from adversarial_learning_on_pointclouds_tpu.models.encoder import (
+        _ema_stats,
+    )
+
+    new_state = {}
+    h1_a, h1_b, new_state["bn1"] = ops.linear_bn_act_pair(
+        params["conv1"], params["bn1"], state["bn1"], x_a, x_b, "relu")
+    if ops.pallas_enabled() and ops.train_tiling_ok(x_a.shape[1]):
+        from adversarial_learning_on_pointclouds_tpu.ops.kernels import (
+            trunk_train,
+        )
+
+        def trunk(h1, s_bn2, s_bn3):
+            g, mu2, v2, mu3, v3 = trunk_train.trunk2_train(
+                h1,
+                params["conv2"]["w"], params["conv2"]["b"],
+                params["bn2"]["scale"], params["bn2"]["bias"],
+                params["conv3"]["w"], params["conv3"]["b"],
+                params["bn3"]["scale"], params["bn3"]["bias"])
+            return (jnp.maximum(g, 0), _ema_stats(s_bn2, mu2, v2, h1),
+                    _ema_stats(s_bn3, mu3, v3, h1))
+
+        h_a, bn2_a, bn3_a = trunk(h1_a, state["bn2"], state["bn3"])
+        h_b, new_state["bn2"], new_state["bn3"] = trunk(h1_b, bn2_a, bn3_a)
+        return h_a, h_b, new_state
+
+    def trunk_xla(h, s_bn2, s_bn3):
+        h, bn2 = ops.linear_bn_act(params["conv2"], params["bn2"], s_bn2,
+                                   h, True, "relu")
+        h, bn3 = ops.linear_bn_act(params["conv3"], params["bn3"], s_bn3,
+                                   h, True, "relu")
+        return ops.max_points(h), bn2, bn3
+
+    h_a, bn2_a, bn3_a = trunk_xla(h1_a, state["bn2"], state["bn3"])
+    h_b, new_state["bn2"], new_state["bn3"] = trunk_xla(h1_b, bn2_a, bn3_a)
+    return h_a, h_b, new_state
 
 
 def _pooled_trunk_grouped(params: core.Params, state: core.BnState,

@@ -158,6 +158,27 @@ def linear_bn_act(dense_p, bn_p, bn_s, x: jnp.ndarray, train: bool,
     return _act(z, act), bn_s
 
 
+def linear_bn_act_pair(dense_p, bn_p, bn_s, x_a: jnp.ndarray,
+                       x_b: jnp.ndarray, act: Optional[str] = "relu",
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """TRAIN-mode ``linear_bn_act`` on TWO same-shape streams with ONE
+    batched ``[2B, N, C]`` matmul and PER-STREAM BN statistics
+    (``core.batch_norm_grouped``, EMA chained a -> b — the exact
+    statistics of two sequential calls).
+
+    The ``--paired_conv1`` throughput knob: at the reference batch 32
+    the per-point conv1 layers are launch/shape-bound, and the isolated
+    2B-stacked fwd+bwd measured 0.62-0.90x of two sequential calls
+    (``chiplogs_r04/perf_round4.log``) — this is the exact-semantics
+    version of that stacking (the probe used mixed 2B statistics)."""
+    z = _matmul(jnp.concatenate([x_a, x_b], axis=0),
+                dense_p["w"], dense_p["b"])
+    z, new_s = core.batch_norm_grouped(bn_p, bn_s, z, True, groups=2)
+    h = _act(z, act)
+    b = x_a.shape[0]
+    return h[:b], h[b:], new_s
+
+
 def folded_affine(dense_p, bn_p, bn_s):
     """Fold BN running stats into (w, shift, scale) for eval-path fusion:
     ``act((x @ w) * scale + shift)`` == ``act(bn(x @ w + b))``."""

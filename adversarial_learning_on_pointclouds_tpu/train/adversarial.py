@@ -174,7 +174,8 @@ def _g_loss_fn(g_params, d_params, g_bn, x_l, y_l, x_u,
 
         def seg_pair(p, s, xa, xb):
             return _seg.apply_segmenter_pair(p, s, xa, xb,
-                                             cfg.paired_trunks)
+                                             cfg.paired_trunks,
+                                             cfg.paired_conv1)
 
         if cfg.remat:
             seg_pair = jax.checkpoint(seg_pair)

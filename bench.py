@@ -107,7 +107,12 @@ def main() -> None:
     p.add_argument("--paired_trunks", action="store_true",
                    help="also batch the fused conv-trunk kernels across "
                         "the two streams (grouped per-stream BN stats; "
-                        "round-4 candidate, measure before defaulting)")
+                        "round-4 candidate, measured −34% — see "
+                        "BASELINE.md)")
+    p.add_argument("--paired_conv1", action="store_true",
+                   help="batch the per-point conv1 layers across the two "
+                        "streams (grouped per-stream BN1 stats — exact "
+                        "sequential semantics; round-5 candidate)")
     p.add_argument("--pallas_augment", action="store_true",
                    help="fused Pallas augmentation pass inside the step "
                         "(on-core PRNG) instead of the jnp chain")
@@ -128,6 +133,9 @@ def main() -> None:
 
     if args.paired_trunks and (not args.paired_heads or args.fused_forward):
         p.error("--paired_trunks requires the paired-heads path "
+                "(drop --no_paired_heads / --fused_forward)")
+    if args.paired_conv1 and (not args.paired_heads or args.fused_forward):
+        p.error("--paired_conv1 requires the paired-heads path "
                 "(drop --no_paired_heads / --fused_forward)")
 
     if args.backend_wait_s > 0:
@@ -161,6 +169,7 @@ def main() -> None:
                             remat=args.remat, fused_forward=args.fused_forward,
                             paired_heads=args.paired_heads,
                             paired_trunks=args.paired_trunks,
+                            paired_conv1=args.paired_conv1,
                             pallas_augment=args.pallas_augment)
     g_tx, d_tx = adversarial.make_txs(cfg, steps_per_epoch=100)
 
