@@ -217,18 +217,38 @@ def main() -> None:
             float(metrics["loss_g"])
         compile_s = time.perf_counter() - t0
 
-        _phase(f"warmup+compile done in {compile_s:.1f}s; measuring "
-               f"{args.steps} steps")
+        # Points processed per launch: labeled + unlabeled clouds, x K
+        # when scanning multiple steps per program.
+        points_per_step = 2 * args.batch * args.points * max(args.scan, 1)
+
+        # Provisional measurement FIRST (a few launches), emitted as a
+        # parseable JSON line on STDERR: a run killed by an external
+        # clock mid-measurement (BENCH_r04 rc=124) still leaves a number
+        # in the captured tail. stdout keeps the ONE-JSON-line contract;
+        # the "provisional_steps" key marks it as the short estimate.
+        prov_steps = min(5, args.steps)
+        t0 = time.perf_counter()
+        for _ in range(prov_steps):
+            state, metrics = step(state)
+        float(metrics["loss_g"])
+        dt_prov = (time.perf_counter() - t0) / prov_steps
+        print(json.dumps({
+            "metric": "adversarial_train_points_per_sec_per_chip",
+            "value": round(points_per_step / dt_prov / n_chips, 1),
+            "unit": "points/sec/chip",
+            "vs_baseline": round(points_per_step / dt_prov / n_chips / 1e6,
+                                 3),
+            "provisional_steps": prov_steps,
+        }), file=sys.stderr, flush=True)
+
+        _phase(f"provisional {dt_prov * 1e3:.2f} ms/step over {prov_steps} "
+               f"launches; measuring {args.steps} steps")
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step(state)
         float(metrics["loss_g"])
         dt = (time.perf_counter() - t0) / args.steps
         _phase(f"measured {dt * 1e3:.2f} ms/step")
-
-    # Points processed per launch: labeled + unlabeled clouds, x K when
-    # scanning multiple steps per program.
-    points_per_step = 2 * args.batch * args.points * max(args.scan, 1)
     pps_per_chip = points_per_step / dt / n_chips
 
     if args.verbose:
