@@ -84,14 +84,20 @@ def exp_chains():
             ("bn-reduce[64,1024]",
              lambda h: h - jnp.mean(h, axis=0, keepdims=True) * 0.001),
         ):
-            k1, k2 = 32, 96
+            # K spread must put the chain-time delta well above the
+            # tunnel's per-launch jitter: the first run of this script
+            # used K=32/96 and got a NEGATIVE bn-reduce slope (-6.7 us,
+            # noise-dominated at a ~0.4 ms delta). 32 -> 512 puts the
+            # matmul delta at ~4 ms and the cheapest op's at ~1 ms.
+            k1, k2 = 32, 512
             f1, _ = _chain(body, h0, k1)
             f2, _ = _chain(body, h0, k2)
-            t1 = timeit(f"chain {name} K={k1}", f1, h0)
-            t2 = timeit(f"chain {name} K={k2}", f2, h0)
+            t1 = timeit(f"chain {name} K={k1}", f1, h0, steps=60)
+            t2 = timeit(f"chain {name} K={k2}", f2, h0, steps=60)
             per = (t2 - t1) / (k2 - k1)
             out[name] = per
-            print(f"  -> per-op issue latency = {per * 1e6:8.2f} us",
+            flag = "  [NOISE-BOUND: non-positive slope]" if per <= 0 else ""
+            print(f"  -> per-op issue latency = {per * 1e6:8.2f} us{flag}",
                   flush=True)
     return out
 
@@ -105,7 +111,7 @@ def _head_fixture(k):
     return jax.device_put(head_p), jax.device_put(head_s)
 
 
-def exp_heads(reps=(2, 4)):
+def exp_heads(reps=(2, 10)):
     """Marginal in-program cost of one paired fc-head fwd+bwd."""
     from adversarial_learning_on_pointclouds_tpu.models import core, tnet
     from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
@@ -129,11 +135,14 @@ def exp_heads(reps=(2, 4)):
         with core.mixed_precision(), use_pallas():
             f1 = jax.jit(jax.grad(lambda p: loss(p, reps[0])))
             f2 = jax.jit(jax.grad(lambda p: loss(p, reps[1])))
-            t1 = timeit(f"paired fc-head(k={k}) fwd+bwd x{reps[0]}", f1, p)
-            t2 = timeit(f"paired fc-head(k={k}) fwd+bwd x{reps[1]}", f2, p)
+            t1 = timeit(f"paired fc-head(k={k}) fwd+bwd x{reps[0]}",
+                        f1, p, steps=60)
+            t2 = timeit(f"paired fc-head(k={k}) fwd+bwd x{reps[1]}",
+                        f2, p, steps=60)
         per = (t2 - t1) / (reps[1] - reps[0])
         out[k] = per
-        print(f"  -> marginal per-head fwd+bwd = {per * 1e3:8.3f} ms",
+        flag = "  [NOISE-BOUND: non-positive slope]" if per <= 0 else ""
+        print(f"  -> marginal per-head fwd+bwd = {per * 1e3:8.3f} ms{flag}",
               flush=True)
     return out
 
@@ -191,9 +200,13 @@ def main():
     if a.exp in ("all", "heads"):
         heads = exp_heads()
     if lat and heads and counts:
-        l_mm = lat["matmul[64,1024]@[1024,1024]"]
-        l_ew = lat["fma[64,1024]"]
-        l_rd = lat["bn-reduce[64,1024]"]
+        # Non-positive slopes are below the tunnel's measurement floor:
+        # treat them as 0 in the bound (an under-estimate of the bound,
+        # i.e. an over-estimate of the exploitable gap — conservative
+        # in the direction that would keep us attacking).
+        l_mm = max(lat["matmul[64,1024]@[1024,1024]"], 0.0)
+        l_ew = max(lat["fma[64,1024]"], 0.0)
+        l_rd = max(lat["bn-reduce[64,1024]"], 0.0)
         print("\n=== derived fc-head latency model ===")
         total_bound = 0.0
         total_meas = 0.0
