@@ -147,6 +147,51 @@ def exp_heads(reps=(2, 10)):
     return out
 
 
+def exp_headchain(ks=(8, 32)):
+    """Serial critical-path latency of one paired fc-head fwd+bwd.
+
+    ``exp_heads`` measures the MARGINAL cost of independent heads — a
+    throughput number the chip can hide by overlapping heads. In the
+    real step the T-Net head output GATES all downstream compute (the
+    transform multiplies the points), so what the step actually pays is
+    the head's serial latency. Chain heads dependently (each head's
+    output perturbs the next head's input) and fit the slope.
+    """
+    from adversarial_learning_on_pointclouds_tpu.models import core, tnet
+    from adversarial_learning_on_pointclouds_tpu.ops import use_pallas
+
+    rng = np.random.default_rng(2)
+    out = {}
+    for k in (3, 64):
+        p, s = _head_fixture(k)
+        h0 = jax.device_put(np.maximum(
+            rng.standard_normal((B2, 1024)), 0).astype(np.float32))
+
+        def loss(p, r):
+            h = h0
+            tot = 0.0
+            for _ in range(r):
+                o, _ = tnet._fc_head_apply(p, s, h, train=True, streams=2)
+                g = jnp.sum(o ** 2) * 1e-6
+                tot = tot + g
+                h = h * (1.0 + g)          # strict serial dependency
+            return tot
+
+        with core.mixed_precision(), use_pallas():
+            f1 = jax.jit(jax.grad(lambda p: loss(p, ks[0])))
+            f2 = jax.jit(jax.grad(lambda p: loss(p, ks[1])))
+            t1 = timeit(f"serial fc-head(k={k}) fwd+bwd chain x{ks[0]}",
+                        f1, p, steps=60)
+            t2 = timeit(f"serial fc-head(k={k}) fwd+bwd chain x{ks[1]}",
+                        f2, p, steps=60)
+        per = (t2 - t1) / (ks[1] - ks[0])
+        out[k] = per
+        flag = "  [NOISE-BOUND: non-positive slope]" if per <= 0 else ""
+        print(f"  -> serial per-head fwd+bwd latency = {per * 1e3:8.3f} "
+              f"ms{flag}", flush=True)
+    return out
+
+
 def exp_opcount():
     """Primitive-op census of one paired head fwd+bwd (trace only)."""
     from adversarial_learning_on_pointclouds_tpu.models import core, tnet
@@ -183,7 +228,8 @@ def exp_opcount():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="all",
-                    choices=("all", "chains", "heads", "opcount"))
+                    choices=("all", "chains", "heads", "headchain",
+                             "opcount"))
     a = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -192,13 +238,15 @@ def main():
     except Exception:
         pass
     print(f"devices: {jax.devices()}", flush=True)
-    lat = heads = counts = None
+    lat = heads = counts = serial = None
     if a.exp in ("all", "chains"):
         lat = exp_chains()
     if a.exp in ("all", "opcount"):
         counts = exp_opcount()
     if a.exp in ("all", "heads"):
         heads = exp_heads()
+    if a.exp in ("all", "headchain"):
+        serial = exp_headchain()
     if lat and heads and counts:
         # Non-positive slopes are below the tunnel's measurement floor:
         # treat them as 0 in the bound (an under-estimate of the bound,
@@ -229,6 +277,23 @@ def main():
         print(f"step: measured {STEP_MS:.2f} ms -> heads at issue-latency "
               f"floor would give {step_bound * 1e3:.2f} ms "
               f"= {pts / step_bound / 1e6:.2f}M pts/s/chip "
+              f"(measured {pts / step_meas / 1e6:.2f}M)", flush=True)
+    if serial:
+        # The step pays each T-Net head's SERIAL latency twice per G
+        # forward arm (STN3d then fSTN, strictly ordered); the scan-8
+        # step runs the paired G fwd+bwd once. Removing the heads
+        # ENTIRELY (latency -> 0) bounds every possible head attack.
+        tot = sum(serial.values())
+        step_meas = STEP_MS / 1e3
+        pts = 2 * 32 * 2048
+        best = step_meas - tot
+        print("\n=== serial-latency ceiling ===")
+        print(f"serial fc-head latency per step: k=3 "
+              f"{serial[3] * 1e3:.3f} + k=64 {serial[64] * 1e3:.3f} "
+              f"= {tot * 1e3:.3f} ms of {STEP_MS:.2f} ms "
+              f"({tot / step_meas * 100:.1f}%)", flush=True)
+        print(f"heads-free ceiling (every head attack bounded by this): "
+              f"{best * 1e3:.2f} ms = {pts / best / 1e6:.2f}M pts/s/chip "
               f"(measured {pts / step_meas / 1e6:.2f}M)", flush=True)
 
 
