@@ -107,7 +107,7 @@ def main() -> None:
     p.add_argument("--paired_trunks", action="store_true",
                    help="also batch the fused conv-trunk kernels across "
                         "the two streams (grouped per-stream BN stats; "
-                        "round-4 candidate, measured −34% — see "
+                        "round-4 candidate, measured −34%% — see "
                         "BASELINE.md)")
     p.add_argument("--paired_conv1", action="store_true",
                    help="batch the per-point conv1 layers across the two "
@@ -147,12 +147,11 @@ def main() -> None:
     # Persistent compilation cache: the bf16 step graph can take minutes
     # to compile on this platform; cache it so repeat bench runs (e.g.
     # the driver's) start in seconds.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/pointtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from adversarial_learning_on_pointclouds_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     import numpy as np
 

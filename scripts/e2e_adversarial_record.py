@@ -38,12 +38,11 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/pointtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from adversarial_learning_on_pointclouds_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     from adversarial_learning_on_pointclouds_tpu.configs import (
         AdversarialConfig,

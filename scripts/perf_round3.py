@@ -150,12 +150,11 @@ def main():
     p.add_argument("--exp", type=str, default="all",
                    choices=("all", "epilogue", "stash", "heads"))
     a = p.parse_args()
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/pointtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from adversarial_learning_on_pointclouds_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     print(f"devices: {jax.devices()}")
     if a.exp in ("all", "epilogue"):
         exp_epilogue()
